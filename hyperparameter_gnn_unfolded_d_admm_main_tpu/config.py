@@ -1,0 +1,138 @@
+"""Configuration for the TPU-native unfolded D-ADMM framework.
+
+Flag names and defaults mirror the reference CLI (`configurations.py:3-131` in the
+reference repo) so that experiment configs are directly comparable, plus a handful of
+TPU-specific knobs (dtype, mesh shape, remat, pallas) that have no reference analogue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # --- problem sizes (reference configurations.py:6-17) ---
+    m: int = 100                       # rows per agent sensing matrix
+    n: int = 500                       # signal dimension
+    alpha_max: float = 0.1             # max step size
+    tau_max: float = 0.99              # max l1 weight
+    rho_max: float = 0.99              # max consensus weight
+    eta_max: float = 0.99              # max dual step
+
+    # --- hyperparameter init fractions (reference configurations.py:20-31) ---
+    init_alpha_frac: float = 0.2
+    init_tau_frac: float = 0.15
+    init_rho_frac: float = 0.25
+    init_eta_frac: float = 0.1
+    max_penalty_threshold: float = 0.8
+    penalty_reduction_factor: float = 0.95
+
+    # --- experiment bookkeeping (reference configurations.py:33-41) ---
+    exp_name: str = "exp for 5 agents"
+    eval: bool = False
+    method: str = "u-dadmm"            # {'dadmm', 'u-dadmm'}
+    seq_num: int = 0
+
+    # --- data (reference configurations.py:44-58) ---
+    data: str = "simulated"            # {'mnist', 'simulated'}
+    norm_mean: float = 0.5
+    norm_std: float = 0.5
+    train_size: int = 200
+    snr: int = 4                       # {-2, 0, 2, 4}
+    test_size: int = 32
+    batch_size: int = 16
+
+    # --- graph (reference configurations.py:61-65) ---
+    P: int = 5                         # number of agents
+    graph_prob: float = 0.5            # ER edge probability
+    graph_type: str = "erods_renyi"
+
+    # --- D-ADMM (reference configurations.py:67-92) ---
+    case: str = "dlasso"               # {'dlasso', 'dlr'}
+    model: str = "same"                # {'diff', 'same'} (classic solvers)
+    rho: float = 0.2603
+    alpha: float = 0.3013
+    eta: float = 0.0867
+    gamma: float = 1.1797e-07
+    beta: float = 1.2260e-03
+    delta: float = 1.2665e-04
+    tau: float = 0.1142
+    sequential: bool = False
+    max_iter_seg: int = 2
+    max_iter: int = 25
+    num_epochs: int = 10
+
+    # --- learning (reference configurations.py:98-114) ---
+    optimizer: str = "adam"            # {'sgd', 'adam'}
+    lr: float = 1e-4
+    momentum: float = 0.5e-5
+    weight_decay: float = 1e-4
+    lr_scheduler: bool = False
+    device: str = "tpu"                # informational; JAX picks the backend
+    valid: bool = True
+    seed: int = 42
+
+    # --- GNN hypernetwork (reference configurations.py:118-128) ---
+    GHyp_hidden: int = 100
+    DADMM_mode: str = "diff"           # {'same', 'diff'}
+    hyp_mode: str = "unfolded"         # {'GHyp', 'unfolded'}
+    GHN_iter_num: int = 15             # K, unfolded iterations
+    save_dir: str = "./results"
+
+    # --- TPU-native knobs (no reference analogue) ---
+    dtype: str = "float32"             # compute dtype for the solver state
+    matmul_dtype: str = "float32"      # dtype fed to the MXU ('bfloat16' to go faster)
+    data_noise: bool = False           # reference gnn_data.py:12-14 overwrites the noise
+                                       # term, making data noiseless regardless of --snr;
+                                       # False reproduces that, True applies real noise
+    nan_guard: bool = True             # replicate NaN/Inf reset ladders
+    remat: bool = True                 # jax.checkpoint the per-iteration scan body
+    use_pallas: bool = False           # fused Pallas inner iteration
+    mesh_data: int = 1                 # data-parallel mesh axis size
+    mesh_agents: int = 1               # agent-parallel mesh axis size
+    min_iterations: int = 1            # progressive schedule floor (reference
+                                       # gnn_dlasso_progressive.py:73)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def _add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool, help_: str = ""):
+    parser.add_argument(f"--{name}", dest=name, action="store_true", default=default, help=help_)
+    parser.add_argument(f"--no-{name}", dest=name, action="store_false")
+
+
+def args_parser(argv: Optional[list] = None) -> Config:
+    """Argparse front-end mirroring reference `configurations.py:args_parser`.
+
+    Every reference flag keeps its name and default; booleans gain a `--no-` variant.
+    Returns a `Config` dataclass rather than a raw namespace.
+    """
+    defaults = Config()
+    parser = argparse.ArgumentParser(description="TPU-native unfolded D-ADMM")
+    for f in dataclasses.fields(Config):
+        default = getattr(defaults, f.name)
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            _add_bool_flag(parser, f.name, default)
+        elif isinstance(default, int):
+            parser.add_argument(f"--{f.name}", type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(f"--{f.name}", type=float, default=default)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=default)
+    ns = parser.parse_args(argv)
+    return Config(**vars(ns))

@@ -1,0 +1,169 @@
+"""Unfolded D-ADMM iteration core (Jacobi form), as pure JAX functions.
+
+One D-ADMM iteration per agent p, per scenario (reference `unfolded_DLASSO.py:69-99`
+and `gnn_dlasso_models_progressive.py:199-232`):
+
+    g      = A_p^T A_p y_p - A_p^T b_p + tau * sign(y_p) + deg_p * U_p + rho * delta_p
+    y_p   <- clamp(y_p - alpha * g)
+    delta  = 2 * L @ y        (neighbor consensus; graph-Laplacian exchange)
+    U_p   <- clamp(U_p + eta * delta_p)
+
+Everything is batched: states are `[B, P, n]`, the per-agent matvec is one einsum on the
+MXU, and consensus is a batched Laplacian matmul (`ops/graphs.py:consensus_delta`) or a
+collective-backed callable injected by `parallel/`. The K-iteration unroll is a
+`lax.scan` with optional rematerialization; the clamp ladders and NaN-reset guards of the
+reference are reproduced exactly (flag-gated) so loss trajectories can be matched.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import graphs as graph_ops
+
+
+class SolverState(NamedTuple):
+    y: jax.Array      # primal iterate        [B, P, n]
+    U: jax.Array      # dual variable         [B, P, n]
+    delta: jax.Array  # consensus residual    [B, P, n]
+
+
+class Clamps(NamedTuple):
+    """Per-iteration clamp ladder. `delta` is None when delta is unclamped."""
+    grad: jax.Array
+    value: jax.Array
+    delta: Optional[jax.Array]
+    dual: jax.Array
+
+
+def unfolded_clamps(k) -> Clamps:
+    """Adaptive ladder of the scalar-table model (`unfolded_DLASSO.py:80,92`):
+    grad +-max(1, 30-k); values +-max(10, 200-3k); delta unclamped; dual same as value."""
+    k = jnp.asarray(k, jnp.float32)
+    grad = jnp.maximum(1.0, 30.0 - k)
+    val = jnp.maximum(10.0, 200.0 - 3.0 * k)
+    return Clamps(grad=grad, value=val, delta=None, dual=val)
+
+
+def gnn_clamps(k) -> Clamps:
+    """Fixed ladder of the GNN-hypernetwork model
+    (`gnn_dlasso_models_progressive.py:212-232`)."""
+    del k
+    one = jnp.float32(1.0)
+    return Clamps(grad=10.0 * one, value=100.0 * one, delta=20.0 * one, dual=100.0 * one)
+
+
+def init_state(key: jax.Array, batch: int, P: int, n: int, dtype=jnp.float32) -> SolverState:
+    """Small random init, `1e-2 * N(0,1)` (`unfolded_DLASSO.py:49-51`)."""
+    ky, ku, kd = jax.random.split(key, 3)
+    shape = (batch, P, n)
+    return SolverState(
+        y=1e-2 * jax.random.normal(ky, shape, dtype),
+        U=1e-2 * jax.random.normal(ku, shape, dtype),
+        delta=1e-2 * jax.random.normal(kd, shape, dtype),
+    )
+
+
+def gram_matvec(AtA: jax.Array, y: jax.Array) -> jax.Array:
+    """`A_p^T A_p y_p` batched over agents: AtA [P,n,n], y [B,P,n] -> [B,P,n].
+
+    Replaces the reference per-agent loop (`unfolded_DLASSO.py:69-71`) with one einsum.
+    """
+    return jnp.einsum("pij,bpj->bpi", AtA, y)
+
+
+def _reset_if_nonfinite(x: jax.Array, fallback: jax.Array) -> jax.Array:
+    """Whole-tensor reset when ANY entry is non-finite, matching the reference guards
+    (`unfolded_DLASSO.py:55-61,84-87,102-104`)."""
+    ok = jnp.all(jnp.isfinite(x))
+    return jnp.where(ok, x, fallback)
+
+
+ConsensusFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def dadmm_step(
+    state: SolverState,
+    AtAy: jax.Array,
+    Atb: jax.Array,
+    deg: jax.Array,
+    alpha: jax.Array,
+    tau: jax.Array,
+    rho: jax.Array,
+    eta: jax.Array,
+    clamps: Clamps,
+    adj: jax.Array,
+    consensus_fn: ConsensusFn = graph_ops.consensus_delta,
+    nan_guard: bool = True,
+) -> SolverState:
+    """One Jacobi D-ADMM iteration.
+
+    Hyperparameters broadcast against `[B, P, n]` (shape `[B_or_1, P_or_1, 1]`).
+    `AtAy` is passed in (not computed here) so hypernetwork callers can reuse it as the
+    conditioning feature without a second Gram matvec.
+    """
+    y, U, delta = state
+    if nan_guard:
+        y = _reset_if_nonfinite(y, jnp.zeros_like(y))
+        U = _reset_if_nonfinite(U, jnp.zeros_like(U))
+
+    grad = AtAy - Atb + jnp.sign(y) * tau + U * deg[..., None] + delta * rho
+    grad = jnp.clip(grad, -clamps.grad, clamps.grad)
+    if nan_guard:
+        grad = _reset_if_nonfinite(grad, jnp.zeros_like(grad))
+
+    y_next = jnp.clip(y - alpha * grad, -clamps.value, clamps.value)
+
+    delta_next = consensus_fn(adj, y_next)
+    if clamps.delta is not None:
+        delta_next = jnp.clip(delta_next, -clamps.delta, clamps.delta)
+
+    U_next = jnp.clip(U + eta * delta_next, -clamps.dual, clamps.dual)
+
+    if nan_guard:
+        y_next = _reset_if_nonfinite(y_next, y)
+    return SolverState(y=y_next, U=U_next, delta=delta_next)
+
+
+def unroll_table(
+    state: SolverState,
+    hyp_table: jax.Array,
+    AtA: jax.Array,
+    Atb: jax.Array,
+    adj: jax.Array,
+    clamp_fn: Callable[[jax.Array], Clamps] = unfolded_clamps,
+    consensus_fn: ConsensusFn = graph_ops.consensus_delta,
+    nan_guard: bool = True,
+    remat: bool = True,
+) -> jax.Array:
+    """Scan K iterations driven by a precomputed hyperparameter table.
+
+    hyp_table: [K, Pp, 4] with Pp in {1, P}, columns (alpha, tau, rho, eta) — the output
+    of `models.seq_hyperparam` for every k at once. Returns the stacked per-iteration
+    primal iterates `Y [K, B, P, n]` (reference `unfolded_DLASSO.py:107-110`).
+    """
+    deg = graph_ops.degrees(adj)
+
+    def body(carry, xs):
+        st, k = carry, xs[0]
+        hyp_k = xs[1]  # [Pp, 4]
+        alpha = hyp_k[None, :, 0:1]
+        tau = hyp_k[None, :, 1:2]
+        rho = hyp_k[None, :, 2:3]
+        eta = hyp_k[None, :, 3:4]
+        AtAy = gram_matvec(AtA, st.y)
+        nxt = dadmm_step(
+            st, AtAy, Atb, deg, alpha, tau, rho, eta,
+            clamp_fn(k), adj, consensus_fn, nan_guard,
+        )
+        return nxt, nxt.y
+
+    if remat:
+        body = jax.checkpoint(body)
+    K = hyp_table.shape[0]
+    ks = jnp.arange(K, dtype=jnp.float32)
+    _, Y = jax.lax.scan(body, state, (ks, hyp_table))
+    return Y

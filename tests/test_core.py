@@ -1,0 +1,156 @@
+"""Solver core: parity of the scan unroll against an independent numpy re-statement of
+the reference iteration math, seq-hyperparam table semantics, loss functions."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import dadmm_core, seq_hyperparam, unfolded
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses
+from tests.test_graphs import reference_compute_delta
+
+
+def numpy_reference_unroll(y0, U0, d0, hyp_table, AtA, Atb, adj, K):
+    """Reference iteration (`unfolded_DLASSO.py:53-107`) restated in plain numpy:
+    Jacobi sweep with the adaptive clamp ladder, noiseless NaN path."""
+    y, U, delta = y0.copy(), U0.copy(), d0.copy()
+    deg = adj.sum(-1)
+    Ys = []
+    for k in range(K):
+        hyp = hyp_table[k]  # [Pp, 4]
+        alpha, tau, rho, eta = (hyp[None, :, i : i + 1] for i in range(4))
+        AtAy = np.einsum("pij,bpj->bpi", AtA, y)
+        grad = AtAy - Atb + np.sign(y) * tau + U * deg[..., None] + delta * rho
+        g = max(1.0, 30.0 - k)
+        grad = np.clip(grad, -g, g)
+        v = max(10.0, 200.0 - 3 * k)
+        y = np.clip(y - alpha * grad, -v, v)
+        delta = reference_compute_delta(adj, y)
+        U = np.clip(U + eta * delta, -v, v)
+        Ys.append(y.copy())
+    return np.stack(Ys)
+
+
+def _problem(rng, B=2, P=4, m=12, n=16, K=5):
+    A = np.asarray(sensing.set_A(jax.random.key(0), P, m, n))
+    AtA = np.einsum("pmi,pmj->pij", A, A)
+    adj = graphs.sample_connected_er(rng, B, P, 0.6)
+    b = rng.standard_normal((B, P, m)).astype(np.float32)
+    Atb = np.einsum("pmn,bpm->bpn", A, b)
+    return A, AtA, adj, b, Atb
+
+
+def test_unroll_matches_numpy_reference(rng):
+    B, P, n, K = 2, 4, 16, 5
+    A, AtA, adj, b, Atb = _problem(rng, B=B, P=P, n=n, K=K)
+    state = dadmm_core.init_state(jax.random.key(1), B, P, n)
+    hyp_np = rng.uniform(0.01, 0.3, size=(K, P, 4)).astype(np.float32)
+
+    Y = dadmm_core.unroll_table(
+        state, jnp.asarray(hyp_np), jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj)
+    )
+    want = numpy_reference_unroll(
+        np.asarray(state.y), np.asarray(state.U), np.asarray(state.delta),
+        hyp_np, AtA, Atb, adj, K,
+    )
+    np.testing.assert_allclose(np.asarray(Y), want, rtol=2e-4, atol=2e-4)
+
+
+def test_unroll_remat_equivalence(rng):
+    B, P, n, K = 2, 4, 16, 4
+    A, AtA, adj, b, Atb = _problem(rng, B=B, P=P, n=n, K=K)
+    state = dadmm_core.init_state(jax.random.key(2), B, P, n)
+    hyp = jnp.asarray(rng.uniform(0.01, 0.3, size=(K, P, 4)).astype(np.float32))
+    args = (state, hyp, jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj))
+    Y1 = dadmm_core.unroll_table(*args, remat=True)
+    Y2 = dadmm_core.unroll_table(*args, remat=False)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-6, atol=1e-6)
+
+
+def test_seq_hyperparam_matches_reference_math(rng):
+    """hyp(k) = clamp(sigmoid(cumsum) * max, 1e-4, 0.99) with training penalty
+    (`unfolded_DLASSO.py:156-168`), restated independently in numpy."""
+    K, P = 6, 3
+    raw = rng.standard_normal((K, P, 4)).astype(np.float32) * 2.0
+    max_param = np.asarray([0.1, 0.99, 0.99, 0.99], np.float32)
+    got = np.asarray(
+        seq_hyperparam.hyp_table(jnp.asarray(raw), jnp.asarray(max_param), training=True)
+    )
+    csum = np.cumsum(raw, axis=0)
+    for k in range(K):
+        hyp = 1.0 / (1.0 + np.exp(-csum[k])) * max_param[None, :]
+        if hyp.mean() > 0.8:
+            hyp = hyp * 0.95
+        want = np.clip(hyp, 1e-4, 0.99)
+        np.testing.assert_allclose(got[k], want, rtol=1e-5, atol=1e-6)
+
+
+def test_nan_guard_resets_state(rng):
+    B, P, n = 1, 3, 8
+    A, AtA, adj, b, Atb = _problem(rng, B=B, P=P, m=6, n=n)
+    bad = dadmm_core.SolverState(
+        y=jnp.full((B, P, n), jnp.nan),
+        U=jnp.zeros((B, P, n)),
+        delta=jnp.zeros((B, P, n)),
+    )
+    hyp = jnp.full((1, P, 4), 0.1)
+    Y = dadmm_core.unroll_table(
+        bad, hyp, jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj), nan_guard=True
+    )
+    assert bool(jnp.all(jnp.isfinite(Y)))
+
+
+def test_unfolded_model_end_to_end(rng):
+    cfg = Config(P=4, m=12, n=16, GHN_iter_num=5, batch_size=2, DADMM_mode="diff")
+    A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
+    model = unfolded.UnfoldedDLASSO(A, cfg)
+    params = model.init()
+    b, y = data_ops.make_dataset(jax.random.key(3), A, 4, snr=cfg.snr)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, 4, cfg.P, 0.6))
+    Y, hyp = model.apply(params, jax.random.key(4), b, adj)
+    assert Y.shape == (5, 4, 4, 16)
+    assert hyp.shape == (cfg.P, 4)
+    # K override truncates (`unfolded_DLASSO.py:40-43`)
+    Y2, _ = model.apply(params, jax.random.key(4), b, adj, K=3)
+    assert Y2.shape[0] == 3
+
+    # gradients flow to the table
+    def loss_fn(p):
+        Yk, _ = model.apply(p, jax.random.key(4), b, adj)
+        lm, lf = losses.compute_loss(Yk, y)
+        return lf
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["seq_hyp"]).sum()) > 0
+
+
+def test_compute_loss_matches_loop(rng):
+    K, B, P, n = 3, 2, 4, 6
+    Y = rng.standard_normal((K, B, P, n)).astype(np.float32)
+    label = rng.standard_normal((B, n)).astype(np.float32)
+    lm, lf = losses.compute_loss(jnp.asarray(Y), jnp.asarray(label))
+    # loop restatement of gnn_dlasso_utils.compute_loss
+    per_k = []
+    for k in range(K):
+        s = 0.0
+        for p in range(P):
+            s += np.mean((Y[k, :, p] - label) ** 2)
+        per_k.append(s / P)
+    np.testing.assert_allclose(float(lf), per_k[-1] + 1e-8, rtol=1e-5)
+    np.testing.assert_allclose(float(lm), np.mean(per_k) + 1e-8, rtol=1e-5)
+
+
+def test_compute_loss_nan_fallback():
+    Y = jnp.full((2, 1, 2, 3), jnp.nan)
+    label = jnp.zeros((1, 3))
+    lm, lf = losses.compute_loss(Y, label)
+    assert float(lm) == 1.0 and float(lf) == 1.0
+
+
+def test_nmse_zero_for_perfect():
+    label = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5)), jnp.float32)
+    Yf = jnp.broadcast_to(label[:, None, :], (2, 3, 5))
+    assert float(losses.nmse(Yf, label)) < 1e-10
