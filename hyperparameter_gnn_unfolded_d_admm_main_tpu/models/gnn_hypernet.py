@@ -1,0 +1,197 @@
+"""GNN hypernetwork D-ADMM: per-agent, per-iteration hyperparameters from a GCN stack.
+
+TPU-native re-design of reference `gnn_dlasso_models_progressive.py`:
+
+- `GNNHypernetwork3` (`:9-72`): 5 GCNConv layers m->h->2h->4h->4h->4h with BatchNorm +
+  LeakyReLU + Dropout(0.1) and a final LayerNorm. Here the per-sample conv loop
+  (`:37-44`) is one batched einsum over the normalized adjacency; batch-norm statistics
+  run over the B*P node axis (documented in `ops/gcn.py:batch_norm`).
+- `DLASSO_GNNHyp3_Progressive` (`:75-243`): the D-ADMM core of `models/dadmm_core.py`
+  where (alpha, tau, rho, eta) are recomputed EVERY iteration from the current state:
+  features `[A^T A y_k || A^T b]` -> encoder -> flatten -> decoder MLP -> fc -> sigmoid
+  -> clamp [1e-4, 0.9999] -> scale by (alpha_max, tau_max, rho_max, eta_max). The K loop
+  is a `lax.scan` whose carry includes the batch-norm running stats; `training_iterations`
+  drives the progressive schedule (one compiled program per distinct K).
+
+Parameters and norm state are plain pytrees; `apply` is pure.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops import gcn, graphs as graph_ops, sensing
+from . import dadmm_core
+
+
+# Encoder channel multipliers relative to hidden_dim (reference `:16-20`).
+_ENC_MULT = [1, 2, 4, 4, 4]
+_DROPOUT = 0.1
+
+
+def _init_encoder(key: jax.Array, in_dim: int, hidden: int, dtype) -> Tuple[dict, dict]:
+    dims = [in_dim] + [m * hidden for m in _ENC_MULT]
+    keys = jax.random.split(key, len(_ENC_MULT))
+    convs, bn_params, bn_state = [], [], []
+    for i in range(len(_ENC_MULT)):
+        w = gcn.xavier_uniform(keys[i], dims[i], dims[i + 1], dtype=dtype)
+        b = jnp.zeros((dims[i + 1],), dtype)
+        convs.append({"w": w, "b": b})
+        p, s = gcn.batch_norm_init(dims[i + 1], dtype)
+        bn_params.append(p)
+        bn_state.append(s)
+    ln = {"scale": jnp.ones((dims[-1],), dtype), "bias": jnp.zeros((dims[-1],), dtype)}
+    params = {"convs": convs, "bn": bn_params, "ln": ln}
+    return params, {"bn": bn_state}
+
+
+def _apply_encoder(
+    params: dict,
+    state: dict,
+    key: jax.Array,
+    x: jax.Array,
+    norm_adj: jax.Array,
+    training: bool,
+) -> Tuple[jax.Array, dict]:
+    """x [B,P,2n] -> flattened [B, P*4h] (reference `:37-72`)."""
+    new_bn = []
+    keys = jax.random.split(key, len(params["convs"]))
+    for i, (conv, bnp, bns) in enumerate(zip(params["convs"], params["bn"], state["bn"])):
+        x = gcn.leaky_relu(gcn.gcn_layer(norm_adj, x, conv["w"], conv["b"]))
+        x, s = gcn.batch_norm(x, bnp, bns, training)
+        new_bn.append(s)
+        if i < len(params["convs"]) - 1:
+            x = gcn.dropout(keys[i], x, _DROPOUT, training)
+    # Final layer: BatchNorm then LayerNorm, no dropout (reference `:68-70`).
+    x = gcn.layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    B = x.shape[0]
+    return x.reshape(B, -1), {"bn": new_bn}
+
+
+def _init_decoder(key: jax.Array, P: int, hidden: int, out_dim: int, dtype) -> dict:
+    """3-layer MLP P*4h -> 4h -> 2h -> h with LayerNorm (reference `:93-106`), plus the
+    fc head with xavier(gain=0.1) and the conservative bias init (reference `:108-123`)."""
+    dims = [P * 4 * hidden, 4 * hidden, 2 * hidden, hidden]
+    keys = jax.random.split(key, 4)
+    layers = []
+    for i in range(3):
+        fan_in, fan_out = dims[i], dims[i + 1]
+        limit = jnp.sqrt(1.0 / fan_in)  # torch Linear default: U(-1/sqrt(fan_in), ..)
+        w = jax.random.uniform(keys[i], (fan_in, fan_out), dtype, -limit, limit)
+        b = jax.random.uniform(jax.random.fold_in(keys[i], 1), (fan_out,), dtype, -limit, limit)
+        layers.append({
+            "w": w, "b": b,
+            "ln_scale": jnp.ones((fan_out,), dtype),
+            "ln_bias": jnp.zeros((fan_out,), dtype),
+        })
+    fc_w = gcn.xavier_uniform(keys[3], hidden, out_dim, gain=0.1, dtype=dtype)
+    fc_b = jnp.zeros((out_dim,), dtype)
+    # Conservative start (reference `:118-123`): only the first 4 bias entries are set.
+    fc_b = fc_b.at[0].set(-0.5).at[1].set(-1.0).at[2].set(-0.8).at[3].set(-1.2)
+    return {"layers": layers, "fc": {"w": fc_w, "b": fc_b}}
+
+
+def _apply_decoder(params: dict, key: jax.Array, x: jax.Array, training: bool) -> jax.Array:
+    keys = jax.random.split(key, 3)
+    for i, lyr in enumerate(params["layers"]):
+        x = x @ lyr["w"] + lyr["b"]
+        x = gcn.dropout(keys[i], x, _DROPOUT, training)
+        x = gcn.layer_norm(x, lyr["ln_scale"], lyr["ln_bias"])
+        x = gcn.leaky_relu(x)
+    return x @ params["fc"]["w"] + params["fc"]["b"]
+
+
+class GNNHypOutput(NamedTuple):
+    Y: jax.Array           # [K, B, P, n] per-iteration primal iterates
+    hyp_last: Tuple[jax.Array, jax.Array, jax.Array, jax.Array]  # (alpha,tau,rho,eta) [B,Pp,1]
+    state: dict            # updated batch-norm running stats
+
+
+class DLASSOGNNHyp(object):
+    """Progressive GNN-hypernetwork D-ADMM model (flagship)."""
+
+    def __init__(self, A: jax.Array, cfg: Config):
+        self.A = A
+        self.AtA = sensing.gram(A)
+        self.P, self.m, self.n = A.shape
+        self.K = cfg.GHN_iter_num
+        self.hidden = int(cfg.GHyp_hidden)
+        self.mode = cfg.DADMM_mode
+        self.cfg = cfg
+        self.out_dim = 4 if cfg.DADMM_mode == "same" else 4 * self.P
+        self.maxes = jnp.asarray(
+            [cfg.alpha_max, cfg.tau_max, cfg.rho_max, cfg.eta_max], dtype=A.dtype
+        )
+
+    def init(self, key: jax.Array) -> Tuple[dict, dict]:
+        k_enc, k_dec = jax.random.split(key)
+        enc, enc_state = _init_encoder(k_enc, 2 * self.n, self.hidden, self.A.dtype)
+        dec = _init_decoder(k_dec, self.P, self.hidden, self.out_dim, self.A.dtype)
+        return {"encoder": enc, "decoder": dec}, enc_state
+
+    def _hyper(self, params, state, key, AtAy, Atb, norm_adj, training):
+        """One hypernetwork evaluation -> ((alpha,tau,rho,eta) each [B,Pp,1], state)."""
+        B = AtAy.shape[0]
+        feats = jnp.concatenate([AtAy, Atb], axis=-1)  # [B,P,2n] (reference `:165`)
+        k_enc, k_dec = jax.random.split(key)
+        h, new_state = _apply_encoder(params["encoder"], state, k_enc, feats, norm_adj, training)
+        out = _apply_decoder(params["decoder"], k_dec, h, training)
+        hyp = jnp.clip(jax.nn.sigmoid(out), 1e-4, 0.9999)  # (reference `:169-172`)
+        Pp = 1 if self.mode == "same" else self.P
+        hyp = hyp.reshape(B, 4, Pp)
+        scaled = hyp * self.maxes[None, :, None]
+        alpha = scaled[:, 0, :, None]
+        # tau/rho/eta get an extra (no-op at default maxes) cap (reference `:194-196`).
+        tau = jnp.minimum(scaled[:, 1, :, None], 0.9999)
+        rho = jnp.minimum(scaled[:, 2, :, None], 0.9999)
+        eta = jnp.minimum(scaled[:, 3, :, None], 0.9999)
+        return (alpha, tau, rho, eta), new_state
+
+    def apply(
+        self,
+        params: dict,
+        state: dict,
+        key: jax.Array,
+        b: jax.Array,
+        adj: jax.Array,
+        training_iterations: Optional[int] = None,
+        training: bool = True,
+    ) -> GNNHypOutput:
+        """Full unrolled forward (reference `forward`, `:131-243`).
+
+        b [B,P,m], adj [B,P,P]. `training_iterations` overrides K for the progressive
+        schedule (static -> one compiled program per distinct K, cached by jit).
+        """
+        K = self.K if training_iterations is None else int(training_iterations)
+        B = b.shape[0]
+        Atb = sensing.At_apply(self.A, b)
+        deg = graph_ops.degrees(adj)
+        norm_adj = graph_ops.gcn_norm_adj(adj)
+        k_init, k_scan = jax.random.split(key)
+        st0 = dadmm_core.init_state(k_init, B, self.P, self.n, dtype=b.dtype)
+        nan_guard = self.cfg.nan_guard
+
+        def body(carry, k):
+            st, bn_state = carry
+            kk = jax.random.fold_in(k_scan, k)
+            AtAy = dadmm_core.gram_matvec(self.AtA, st.y)
+            (alpha, tau, rho, eta), bn_state = self._hyper(
+                params, bn_state, kk, AtAy, Atb, norm_adj, training
+            )
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, deg, alpha, tau, rho, eta,
+                dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
+            )
+            return (nxt, bn_state), (nxt.y, (alpha, tau, rho, eta))
+
+        if self.cfg.remat:
+            body = jax.checkpoint(body)
+        (st, bn_state), (Y, hyps) = jax.lax.scan(
+            body, (st0, state), jnp.arange(K, dtype=jnp.int32)
+        )
+        hyp_last = tuple(h[-1] for h in hyps)
+        return GNNHypOutput(Y=Y, hyp_last=hyp_last, state=bn_state)

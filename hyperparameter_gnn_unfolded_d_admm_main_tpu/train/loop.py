@@ -1,0 +1,297 @@
+"""Training loops for the unfolded (scalar-table) and GNN-hypernetwork models.
+
+TPU-native re-design of the reference drivers:
+- `train_unfolded` ~ `unfolded_train_new.py:18-184`: one fixed ER graph for every batch,
+  Adam, ReduceLROnPlateau(0.8, patience 3), early stop patience 70, loss = final-layer.
+- `train_gnn_progressive` ~ `gnn_dlasso_progressive.py:20-362`: fresh connected ER
+  graphs per sample per batch (p >= 0.3), AdamW(wd 1e-5) + grad clip 100,
+  ReduceLROnPlateau(0.7, patience 15), early stop patience 20, progressive K schedule
+  with manual LR damping at max K.
+
+Differences by design: data + graphs live on device, the step is one jitted function
+(per distinct K for the progressive schedule — compile cache handles the ladder), and
+checkpoints carry full state for exact resume (the reference has no resume).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models.gnn_hypernet import DLASSOGNNHyp
+from ..models.unfolded import UnfoldedDLASSO
+from ..ops import data as data_ops
+from ..ops import graphs, sensing
+from ..utils import checkpoint as ckpt
+from ..utils.logging import CSVLogger, IOStream, StepTimer, save_json
+from . import losses, optim, schedule
+
+
+def _fixed_graph_batch(seed: int, batch: int, P: int, prob: float) -> jnp.ndarray:
+    """ONE ER graph reused for every batch (reference `unfolded_train_new.py:56,67`).
+    Not connectivity-repaired there; isolated nodes simply have degree 0."""
+    rng = np.random.default_rng(seed)
+    adj = graphs.sample_er_adjacency(rng, P, prob)
+    return jnp.broadcast_to(jnp.asarray(adj), (batch, P, P))
+
+
+def _fresh_graph_batch(seed: int, batch: int, P: int, prob: float) -> jnp.ndarray:
+    """Fresh connected per-sample graphs, p >= 0.3 (reference
+    `gnn_dlasso_progressive.py:181-191`)."""
+    return jnp.asarray(graphs.fast_sample_connected_er(seed, batch, P, max(prob, 0.3)))
+
+
+# --------------------------------------------------------------------------- unfolded
+
+
+def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> Dict:
+    log = IOStream(os.path.join(out_dir, "run.log"))
+    key = jax.random.key(int(cfg.seed))
+    k_A, k_data_tr, k_data_va, key = jax.random.split(key, 4)
+
+    A = sensing.set_A(k_A, cfg.P, cfg.m, cfg.n)
+    b_tr, y_tr = data_ops.make_dataset(k_data_tr, A, cfg.train_size, cfg.snr, noise=cfg.data_noise)
+    b_va, y_va = data_ops.make_dataset(k_data_va, A, cfg.test_size, cfg.snr, noise=cfg.data_noise)
+
+    model = UnfoldedDLASSO(A, cfg)
+    params = model.init()
+    tx = optim.make_optimizer("adam", cfg.lr)
+    opt_state = tx.init(params)
+
+    adj = _fixed_graph_batch(int(cfg.seed), cfg.batch_size, cfg.P, cfg.graph_prob)
+
+    @jax.jit
+    def train_step(params, opt_state, key, b, y):
+        def loss_fn(p):
+            Y, hyp = model.apply(p, key, b, adj, training=True)
+            lm, lf = losses.compute_loss(Y, y)
+            return lf, (lm, hyp)
+
+        (lf, (lm, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, lm, lf, hyp
+
+    @jax.jit
+    def eval_step(params, key, b, y):
+        # Reference validation never calls model.eval() (`unfolded_train_new.py:102-125`),
+        # so the table penalty stays active: training=True here is parity, not a bug.
+        Y, hyp = model.apply(params, key, b, adj, training=True)
+        lm, lf = losses.compute_loss(Y, y)
+        nm = losses.nmse(Y[-1], y)
+        return lm, lf, nm
+
+    plateau = schedule.ReduceLROnPlateau(lr=cfg.lr, factor=0.8, patience=3, min_lr=1e-6)
+    stopper = schedule.EarlyStopping(patience=70)
+    csv = CSVLogger(["epoch", "train_loss", "valid_loss"])
+    rng = np.random.default_rng(int(cfg.seed))
+    timer = StepTimer()
+    best_params = params
+    start_epoch = 0
+
+    if resume and ckpt.exists(resume):
+        tree = {"params": params, "opt_state": opt_state}
+        tree, meta = ckpt.restore(resume, tree)
+        params, opt_state = tree["params"], tree["opt_state"]
+        start_epoch = int(meta["epoch"]) + 1
+        plateau.lr = float(meta["lr"])
+        plateau.best = float(meta["plateau_best"])
+        stopper.best = float(meta["stop_best"])
+        log.cprint(f"resumed from {resume} at epoch {start_epoch}")
+
+    final_nmse = float("nan")
+    for epoch in range(start_epoch, cfg.num_epochs):
+        opt_state.hyperparams["learning_rate"] = plateau.lr
+        tr_loss, nb = 0.0, 0
+        for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
+            key, kstep = jax.random.split(key)
+            with timer:
+                params, opt_state, lm, lf, hyp = train_step(params, opt_state, kstep, b, y)
+            tr_loss += float(lf)
+            nb += 1
+        tr_loss /= max(nb, 1)
+
+        va_loss, va_nmse, nb = 0.0, 0.0, 0
+        for b, y in data_ops.batch_iterator(rng, b_va, y_va, cfg.batch_size):
+            key, kstep = jax.random.split(key)
+            lm, lf, nm = eval_step(params, kstep, b, y)
+            va_loss += float(lf)
+            va_nmse += float(nm)
+            nb += 1
+        va_loss /= max(nb, 1)
+        final_nmse = va_nmse / max(nb, 1)
+
+        plateau.step(va_loss)
+        csv.append(epoch=epoch + 1, train_loss=tr_loss, valid_loss=va_loss)
+        log.cprint(
+            f"epoch {epoch + 1}/{cfg.num_epochs} | train {tr_loss:.5f} | "
+            f"valid {va_loss:.5f} | nmse {final_nmse:.5f} | lr {plateau.lr:.2e}"
+        )
+        stop = stopper.step(va_loss)
+        if stopper.improved:
+            best_params = params
+            ckpt.save(
+                os.path.join(out_dir, "best"),
+                {"params": params, "opt_state": opt_state},
+                {"epoch": epoch, "valid_loss": va_loss, "lr": plateau.lr,
+                 "plateau_best": plateau.best, "stop_best": stopper.best},
+            )
+        ckpt.save(
+            os.path.join(out_dir, "last"),
+            {"params": params, "opt_state": opt_state},
+            {"epoch": epoch, "valid_loss": va_loss, "lr": plateau.lr,
+             "plateau_best": plateau.best, "stop_best": stopper.best},
+        )
+        if stop:
+            log.cprint(f"early stopping at epoch {epoch + 1}")
+            break
+
+    csv.write(os.path.join(out_dir, "losses.csv"))
+    np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
+    save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
+    log.cprint(f"best valid loss: {stopper.best:.6f}")
+    return {
+        "best_valid_loss": stopper.best,
+        "final_nmse": final_nmse,
+        "params": best_params,
+        "steps_per_sec": timer.steady_state_rate(),
+        "out_dir": out_dir,
+    }
+
+
+# ------------------------------------------------------------------- GNN progressive
+
+
+def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = None) -> Dict:
+    log = IOStream(os.path.join(out_dir, "run.log"))
+    key = jax.random.key(int(cfg.seed))
+    k_A, k_data_tr, k_data_va, k_model, key = jax.random.split(key, 5)
+
+    A = sensing.set_A(k_A, cfg.P, cfg.m, cfg.n)
+    b_tr, y_tr = data_ops.make_dataset(k_data_tr, A, cfg.train_size, cfg.snr, noise=cfg.data_noise)
+    b_va, y_va = data_ops.make_dataset(k_data_va, A, cfg.test_size, cfg.snr, noise=cfg.data_noise)
+
+    model = DLASSOGNNHyp(A, cfg)
+    params, norm_state = model.init(k_model)
+    tx = optim.make_optimizer("adamw", cfg.lr, weight_decay=1e-5, clip_norm=100.0)
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def train_step(params, norm_state, opt_state, key, batch, K):
+        b, y, adj = batch
+
+        def loss_fn(p):
+            out = model.apply(p, norm_state, key, b, adj, training_iterations=K, training=True)
+            lm, lf = losses.compute_loss(out.Y, y)
+            return lf, (lm, out.state, out.hyp_last)
+
+        (lf, (lm, new_state, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, opt_state, lm, lf, hyp
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def eval_step(params, norm_state, key, batch, K):
+        b, y, adj = batch
+        out = model.apply(params, norm_state, key, b, adj, training_iterations=K, training=False)
+        lm, lf = losses.compute_loss(out.Y, y)
+        nm = losses.nmse(out.Y[-1], y)
+        return lm, lf, nm
+
+    plateau = schedule.ReduceLROnPlateau(lr=cfg.lr, factor=0.7, patience=15, min_lr=1e-6)
+    stopper = schedule.EarlyStopping(patience=20)
+    train_csv = CSVLogger(["mean", "final"])
+    valid_csv = CSVLogger(["mean", "final"])
+    rng = np.random.default_rng(int(cfg.seed))
+    timer = StepTimer()
+    graph_seed = int(cfg.seed) * 1000
+    start_epoch = 0
+    max_iterations = cfg.GHN_iter_num
+
+    if resume and ckpt.exists(resume):
+        tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
+        tree, meta = ckpt.restore(resume, tree)
+        params, norm_state, opt_state = tree["params"], tree["norm_state"], tree["opt_state"]
+        start_epoch = int(meta["epoch"]) + 1
+        plateau.lr = float(meta["lr"])
+        plateau.best = float(meta["plateau_best"])
+        stopper.best = float(meta["stop_best"])
+        log.cprint(f"resumed from {resume} at epoch {start_epoch}")
+
+    final_nmse = float("nan")
+    K = cfg.min_iterations
+    for epoch in range(start_epoch, cfg.num_epochs):
+        K = schedule.get_iterations_for_epoch(
+            epoch, cfg.num_epochs, cfg.min_iterations, max_iterations
+        )
+        lr_factor = schedule.lr_factor_for_iterations(K, epoch, cfg.num_epochs, max_iterations)
+        opt_state.hyperparams["learning_rate"] = plateau.lr * lr_factor
+
+        tr_mean, tr_final, nb = 0.0, 0.0, 0
+        for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
+            graph_seed += 1
+            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob)
+            key, kstep = jax.random.split(key)
+            with timer:
+                params, norm_state, opt_state, lm, lf, hyp = train_step(
+                    params, norm_state, opt_state, kstep, (b, y, adj), K
+                )
+            tr_mean += float(lm)
+            tr_final += float(lf)
+            nb += 1
+        tr_mean /= max(nb, 1)
+        tr_final /= max(nb, 1)
+        train_csv.append(mean=tr_mean, final=tr_final)
+
+        va_mean, va_final, va_nmse, nb = 0.0, 0.0, 0.0, 0
+        for b, y in data_ops.batch_iterator(rng, b_va, y_va, cfg.batch_size):
+            graph_seed += 1
+            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob)
+            key, kstep = jax.random.split(key)
+            lm, lf, nm = eval_step(params, norm_state, kstep, (b, y, adj), K)
+            va_mean += float(lm)
+            va_final += float(lf)
+            va_nmse += float(nm)
+            nb += 1
+        va_mean /= max(nb, 1)
+        va_final /= max(nb, 1)
+        final_nmse = va_nmse / max(nb, 1)
+        valid_csv.append(mean=va_mean, final=va_final)
+
+        plateau.step(va_final)
+        log.cprint(
+            f"epoch {epoch + 1}/{cfg.num_epochs} | K={K} | train {tr_final:.5f} | "
+            f"valid {va_final:.5f} | nmse {final_nmse:.5f} | "
+            f"lr {plateau.lr * lr_factor:.2e}"
+        )
+        stop = stopper.step(va_final)
+        meta = {"epoch": epoch, "valid_loss": va_final, "lr": plateau.lr,
+                "plateau_best": plateau.best, "stop_best": stopper.best,
+                "current_iterations": K}
+        tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
+        if stopper.improved:
+            ckpt.save(os.path.join(out_dir, "best"), tree, meta)
+        ckpt.save(os.path.join(out_dir, "last"), tree, meta)
+        if stop:
+            log.cprint(f"early stopping at epoch {epoch + 1}")
+            break
+
+    train_csv.write(os.path.join(out_dir, "train_losses.csv"))
+    valid_csv.write(os.path.join(out_dir, "valid_losses.csv"))
+    np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
+    save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
+    log.cprint(f"best valid loss: {stopper.best:.6f}")
+    return {
+        "best_valid_loss": stopper.best,
+        "final_nmse": final_nmse,
+        "params": params,
+        "norm_state": norm_state,
+        "steps_per_sec": timer.steady_state_rate(),
+        "final_iterations": K,
+        "out_dir": out_dir,
+    }

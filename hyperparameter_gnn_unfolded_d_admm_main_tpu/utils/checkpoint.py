@@ -1,0 +1,49 @@
+"""Checkpointing with actual resume.
+
+The reference only *saves* (`torch.save` of state dicts and rich dicts,
+`gnn_dlasso_progressive.py:288-295,315-322`; there is no load/resume path). Here a
+checkpoint is a directory holding the full training state — model params, norm state,
+optimizer state, host-side scheduler state, config, sensing matrix — so a run restarts
+exactly. Arrays are serialized with `flax.serialization` (msgpack, no pickle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save(path: str, tree: Dict[str, Any], meta: Optional[Dict] = None):
+    """Serialize a pytree (+ JSON metadata) into directory `path`."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(_to_host(tree)))
+    if meta is not None:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True, default=str)
+
+
+def restore(path: str, target: Dict[str, Any]) -> Tuple[Dict[str, Any], Optional[Dict]]:
+    """Restore into the structure of `target` (same-shaped pytree). Returns
+    (tree, meta-or-None)."""
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        tree = serialization.from_bytes(_to_host(target), f.read())
+    meta = None
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "state.msgpack"))

@@ -1,0 +1,102 @@
+"""GNN hypernetwork: shapes, GCN parity, hyperparameter bounds, gradient flow,
+progressive-K behavior, batchnorm state threading."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import DLASSOGNNHyp
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import gcn, graphs, sensing
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses
+
+
+def _setup(rng, P=4, m=10, n=12, hidden=8, B=3, K=4, mode="diff"):
+    cfg = Config(P=P, m=m, n=n, GHyp_hidden=hidden, GHN_iter_num=K, DADMM_mode=mode)
+    A = sensing.set_A(jax.random.key(0), P, m, n)
+    model = DLASSOGNNHyp(A, cfg)
+    params, state = model.init(jax.random.key(1))
+    b, y = data_ops.make_dataset(jax.random.key(2), A, B)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, P, 0.6))
+    return cfg, model, params, state, b, y, adj
+
+
+def test_gcn_layer_matches_dense_math(rng):
+    B, P, fin, fout = 2, 5, 7, 3
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, P, 0.6))
+    norm = graphs.gcn_norm_adj(adj)
+    x = jnp.asarray(rng.standard_normal((B, P, fin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((fin, fout)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(fout).astype(np.float32))
+    got = np.asarray(gcn.gcn_layer(norm, x, w, bias))
+    for i in range(B):
+        want = np.asarray(norm[i]) @ np.asarray(x[i]) @ np.asarray(w) + np.asarray(bias)
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_shapes_and_hyp_bounds(rng):
+    cfg, model, params, state, b, y, adj = _setup(rng)
+    out = model.apply(params, state, jax.random.key(3), b, adj)
+    assert out.Y.shape == (4, 3, 4, 12)
+    alpha, tau, rho, eta = out.hyp_last
+    assert alpha.shape == (3, 4, 1)
+    # bounds: sigmoid clamp [1e-4, 0.9999] scaled by maxes
+    assert float(jnp.max(alpha)) <= cfg.alpha_max + 1e-6
+    assert float(jnp.min(alpha)) >= 1e-4 * cfg.alpha_max - 1e-9
+    for h, mx in zip((tau, rho, eta), (cfg.tau_max, cfg.rho_max, cfg.eta_max)):
+        assert float(jnp.max(h)) <= mx + 1e-6
+
+
+def test_same_mode_shares_hyp_across_agents(rng):
+    cfg, model, params, state, b, y, adj = _setup(rng, mode="same")
+    out = model.apply(params, state, jax.random.key(3), b, adj)
+    alpha, *_ = out.hyp_last
+    assert alpha.shape == (3, 1, 1)
+
+
+def test_progressive_K_override(rng):
+    cfg, model, params, state, b, y, adj = _setup(rng, K=6)
+    out1 = model.apply(params, state, jax.random.key(3), b, adj, training_iterations=2)
+    assert out1.Y.shape[0] == 2
+    out2 = model.apply(params, state, jax.random.key(3), b, adj, training_iterations=6)
+    assert out2.Y.shape[0] == 6
+
+
+def test_gradients_flow_and_state_updates(rng):
+    cfg, model, params, state, b, y, adj = _setup(rng)
+
+    def loss_fn(p):
+        out = model.apply(p, state, jax.random.key(3), b, adj, training=True)
+        lm, lf = losses.compute_loss(out.Y, y)
+        return lf, out.state
+
+    (lf, new_state), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(lf))
+    # every encoder conv weight gets gradient
+    for conv in g["encoder"]["convs"]:
+        assert float(jnp.abs(conv["w"]).max()) > 0
+    assert float(jnp.abs(g["decoder"]["fc"]["w"]).max()) > 0
+    # batch-norm running stats moved during training
+    diff = jnp.abs(new_state["bn"][0]["mean"] - state["bn"][0]["mean"]).max()
+    assert float(diff) > 0
+
+
+def test_eval_mode_is_deterministic_and_freezes_state(rng):
+    cfg, model, params, state, b, y, adj = _setup(rng)
+    out1 = model.apply(params, state, jax.random.key(3), b, adj, training=False)
+    out2 = model.apply(params, state, jax.random.key(3), b, adj, training=False)
+    # same key twice -> bitwise identical (no hidden state)
+    np.testing.assert_allclose(np.asarray(out1.Y), np.asarray(out2.Y), rtol=1e-6)
+    # running stats untouched in eval
+    np.testing.assert_allclose(
+        np.asarray(out1.state["bn"][0]["mean"]), np.asarray(state["bn"][0]["mean"])
+    )
+
+
+def test_fc_bias_conservative_init(rng):
+    """Reference `gnn_dlasso_models_progressive.py:118-123`: first 4 fc bias entries."""
+    cfg, model, params, state, b, y, adj = _setup(rng)
+    fcb = np.asarray(params["decoder"]["fc"]["b"])
+    np.testing.assert_allclose(fcb[:4], [-0.5, -1.0, -0.8, -1.2])
+    assert np.all(fcb[4:] == 0)

@@ -1,0 +1,106 @@
+"""Training harness: schedules, optimizer plumbing, short end-to-end runs of both
+trainers (tiny configs), checkpoint resume."""
+
+import os
+
+import numpy as np
+import jax
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop, optim, schedule
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils import checkpoint as ckpt
+
+
+def test_progressive_schedule_matches_reference_formula():
+    """K(e) = min + (max-min)*min(1, e/(0.75E))^1.5 (`gnn_dlasso_progressive.py:79-85`)."""
+    E, lo, hi = 100, 1, 15
+    ks = [schedule.get_iterations_for_epoch(e, E, lo, hi) for e in range(E)]
+    assert ks[0] == lo
+    assert ks[-1] == hi
+    assert all(b >= a for a, b in zip(ks, ks[1:])), "monotone nondecreasing"
+    assert ks[75] == hi, "reaches max at 75% of epochs"
+    # spot-check the formula
+    e = 30
+    want = round(lo + (hi - lo) * min(1.0, e / 75.0) ** 1.5)
+    assert ks[e] == want
+
+
+def test_lr_factor_for_iterations():
+    # before max K: factor 1.0
+    assert schedule.lr_factor_for_iterations(5, 10, 100, 15) == 1.0
+    # at max K: starts near 0.8, floors at 0.3
+    f_start = schedule.lr_factor_for_iterations(15, 75, 100, 15)
+    f_end = schedule.lr_factor_for_iterations(15, 99, 100, 15)
+    assert 0.75 <= f_start <= 0.8
+    assert abs(f_end - 0.3) < 1e-9
+
+
+def test_reduce_lr_on_plateau():
+    s = schedule.ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2, min_lr=0.1)
+    for _ in range(3):
+        s.step(1.0)  # no improvement
+    assert s.lr == 1.0  # patience 2 -> reduce on 3rd bad? torch: num_bad > patience
+    s.step(1.0)
+    assert s.lr == 0.5 or s.lr == 1.0  # depends on count; verify eventual floor
+    for _ in range(20):
+        s.step(1.0)
+    assert s.lr == 0.1
+
+
+def test_early_stopping():
+    s = schedule.EarlyStopping(patience=2)
+    assert not s.step(1.0) and s.improved
+    assert not s.step(2.0)
+    assert s.step(2.0)
+
+
+def test_optimizer_lr_injection():
+    import jax.numpy as jnp
+    tx = optim.make_optimizer("adamw", 1e-3, weight_decay=1e-5, clip_norm=100.0)
+    p = {"w": jnp.ones((3,))}
+    st = tx.init(p)
+    g = {"w": jnp.ones((3,))}
+    _, st2 = tx.update(g, st, p)
+    st2.hyperparams["learning_rate"] = 5e-4
+    _, st3 = tx.update(g, st2, p)
+    assert abs(float(st3.hyperparams["learning_rate"]) - 5e-4) < 1e-9
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        P=4, m=8, n=10, GHyp_hidden=4, GHN_iter_num=3, batch_size=4,
+        train_size=8, test_size=4, num_epochs=2, lr=1e-2, seed=0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_train_unfolded_end_to_end(tmp_path):
+    cfg = _tiny_cfg()
+    res = loop.train_unfolded(cfg, str(tmp_path / "run"))
+    assert np.isfinite(res["best_valid_loss"])
+    assert os.path.exists(tmp_path / "run" / "losses.csv")
+    assert ckpt.exists(str(tmp_path / "run" / "best"))
+    assert ckpt.exists(str(tmp_path / "run" / "last"))
+
+
+def test_train_unfolded_resume(tmp_path):
+    cfg = _tiny_cfg(num_epochs=2)
+    loop.train_unfolded(cfg, str(tmp_path / "a"))
+    # resume for 2 more epochs from 'last'
+    cfg2 = _tiny_cfg(num_epochs=4)
+    res = loop.train_unfolded(cfg2, str(tmp_path / "b"), resume=str(tmp_path / "a" / "last"))
+    assert np.isfinite(res["best_valid_loss"])
+    # resumed run starts at epoch 2 -> its CSV has 2 rows (epochs 3,4)
+    with open(tmp_path / "b" / "losses.csv") as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == 3  # header + 2 epochs
+    assert rows[1].startswith("3,")
+
+
+def test_train_gnn_progressive_end_to_end(tmp_path):
+    cfg = _tiny_cfg(num_epochs=3, lr=1e-3)
+    res = loop.train_gnn_progressive(cfg, str(tmp_path / "run"))
+    assert np.isfinite(res["best_valid_loss"])
+    assert os.path.exists(tmp_path / "run" / "valid_losses.csv")
+    assert res["final_iterations"] >= cfg.min_iterations
