@@ -75,10 +75,16 @@ def gram_matvec(AtA: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.einsum("pij,bpj->bpi", AtA, y)
 
 
-def _reset_if_nonfinite(x: jax.Array, fallback: jax.Array) -> jax.Array:
+def default_finite_fn(x: jax.Array) -> jax.Array:
+    """Scalar 'is the whole tensor finite'. Sharded callers substitute a collective
+    version so the reset decision agrees across shards."""
+    return jnp.all(jnp.isfinite(x))
+
+
+def _reset_if_nonfinite(x: jax.Array, fallback: jax.Array, finite_fn=default_finite_fn) -> jax.Array:
     """Whole-tensor reset when ANY entry is non-finite, matching the reference guards
     (`unfolded_DLASSO.py:55-61,84-87,102-104`)."""
-    ok = jnp.all(jnp.isfinite(x))
+    ok = finite_fn(x)
     return jnp.where(ok, x, fallback)
 
 
@@ -98,6 +104,7 @@ def dadmm_step(
     adj: jax.Array,
     consensus_fn: ConsensusFn = graph_ops.consensus_delta,
     nan_guard: bool = True,
+    finite_fn=default_finite_fn,
 ) -> SolverState:
     """One Jacobi D-ADMM iteration.
 
@@ -107,13 +114,13 @@ def dadmm_step(
     """
     y, U, delta = state
     if nan_guard:
-        y = _reset_if_nonfinite(y, jnp.zeros_like(y))
-        U = _reset_if_nonfinite(U, jnp.zeros_like(U))
+        y = _reset_if_nonfinite(y, jnp.zeros_like(y), finite_fn)
+        U = _reset_if_nonfinite(U, jnp.zeros_like(U), finite_fn)
 
     grad = AtAy - Atb + jnp.sign(y) * tau + U * deg[..., None] + delta * rho
     grad = jnp.clip(grad, -clamps.grad, clamps.grad)
     if nan_guard:
-        grad = _reset_if_nonfinite(grad, jnp.zeros_like(grad))
+        grad = _reset_if_nonfinite(grad, jnp.zeros_like(grad), finite_fn)
 
     y_next = jnp.clip(y - alpha * grad, -clamps.value, clamps.value)
 
@@ -124,7 +131,7 @@ def dadmm_step(
     U_next = jnp.clip(U + eta * delta_next, -clamps.dual, clamps.dual)
 
     if nan_guard:
-        y_next = _reset_if_nonfinite(y_next, y)
+        y_next = _reset_if_nonfinite(y_next, y, finite_fn)
     return SolverState(y=y_next, U=U_next, delta=delta_next)
 
 

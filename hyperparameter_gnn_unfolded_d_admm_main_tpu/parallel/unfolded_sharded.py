@@ -1,0 +1,102 @@
+"""Explicitly sharded unfolded D-ADMM solver: `shard_map` over a (data, agents) mesh.
+
+The pod-scale path (BASELINE.md: P=1024 agents across >=2 hosts). State tensors
+`[B, P, n]` shard batch over `data` and agents over `agents`; each device runs the local
+Jacobi update on its agent block and the consensus residual is a collective
+(`parallel/consensus.py`) — the all_gather schedule by default, the ppermute ring for
+large P. Identical numerics to the dense single-device `models/dadmm_core.unroll_table`
+(tested on the virtual CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import dadmm_core
+from ..ops import graphs as graph_ops
+from . import consensus as consensus_lib
+from .mesh import AGENT_AXIS, DATA_AXIS
+
+
+def _collective_finite_fn(x: jax.Array) -> jax.Array:
+    """Global 'all finite' agreed across every shard (both mesh axes)."""
+    bad = jnp.sum(~jnp.isfinite(x))
+    bad = lax.psum(bad, (DATA_AXIS, AGENT_AXIS))
+    return bad == 0
+
+
+def make_sharded_unroll(
+    mesh: Mesh,
+    schedule: str = "allgather",
+    clamp_fn: Callable = dadmm_core.unfolded_clamps,
+    nan_guard: bool = True,
+    remat: bool = True,
+):
+    """Build a jitted `(state, hyp_table, AtA, Atb, adj) -> Y` over `mesh`.
+
+    Shapes (global): state [B,P,n] x3, hyp_table [K,P,4] (per-agent table; use a
+    broadcast table for 'same' mode), AtA [P,n,n], Atb [B,P,n], adj [B,P,P].
+    Returns Y [K,B,P,n]. B must divide by the data axis, P by the agent axis.
+    """
+    n_agent_shards = mesh.shape[AGENT_AXIS]
+    if schedule == "allgather":
+        consensus_fn = consensus_lib.consensus_allgather
+    elif schedule == "ppermute":
+        consensus_fn = functools.partial(
+            consensus_lib.consensus_ppermute, num_shards=n_agent_shards
+        )
+    else:
+        raise ValueError(f"unknown consensus schedule {schedule!r}")
+
+    state_spec = dadmm_core.SolverState(
+        y=P(DATA_AXIS, AGENT_AXIS), U=P(DATA_AXIS, AGENT_AXIS), delta=P(DATA_AXIS, AGENT_AXIS)
+    )
+
+    def local_unroll(state, hyp_table, AtA, Atb, adj_rows):
+        # Everything here sees LOCAL blocks: y [Bl, Pl, n], adj_rows [Bl, Pl, P].
+        deg = jnp.sum(adj_rows, axis=-1)  # full rows present -> true global degrees
+
+        def body(carry, xs):
+            st, k = carry, xs[0]
+            hyp_k = xs[1]
+            alpha = hyp_k[None, :, 0:1]
+            tau = hyp_k[None, :, 1:2]
+            rho = hyp_k[None, :, 2:3]
+            eta = hyp_k[None, :, 3:4]
+            AtAy = dadmm_core.gram_matvec(AtA, st.y)
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, deg, alpha, tau, rho, eta,
+                clamp_fn(k), adj_rows,
+                consensus_fn=lambda _adj, y: consensus_fn(adj_rows, y),
+                nan_guard=nan_guard,
+                finite_fn=_collective_finite_fn,
+            )
+            return nxt, nxt.y
+
+        if remat:
+            body = jax.checkpoint(body)
+        K = hyp_table.shape[0]
+        ks = jnp.arange(K, dtype=jnp.float32)
+        _, Y = lax.scan(body, state, (ks, hyp_table))
+        return Y
+
+    shard_fn = jax.shard_map(
+        local_unroll,
+        mesh=mesh,
+        in_specs=(
+            state_spec,
+            P(None, AGENT_AXIS),        # hyp_table [K, P, 4]
+            P(AGENT_AXIS),              # AtA [P, n, n]
+            P(DATA_AXIS, AGENT_AXIS),   # Atb
+            P(DATA_AXIS, AGENT_AXIS, None),  # adj rows: last dim replicated
+        ),
+        out_specs=P(None, DATA_AXIS, AGENT_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)

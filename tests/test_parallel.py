@@ -1,0 +1,123 @@
+"""Sharding layer on the 8-device virtual CPU mesh: collective consensus parity,
+sharded solver parity vs dense, GSPMD train step, mesh construction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import dadmm_core, seq_hyperparam
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import DLASSOGNNHyp
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.parallel import (
+    consensus as consensus_lib,
+    mesh as mesh_lib,
+    shard_step,
+    unfolded_sharded,
+)
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses, optim
+from jax.sharding import PartitionSpec as P
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def _mesh(data=2, agents=4):
+    return mesh_lib.make_mesh(data=data, agents=agents)
+
+
+def test_auto_mesh_divisibility():
+    m = mesh_lib.auto_mesh(8, P_agents=8)
+    assert m.shape[mesh_lib.AGENT_AXIS] * m.shape[mesh_lib.DATA_AXIS] == 8
+    assert 8 % m.shape[mesh_lib.AGENT_AXIS] == 0
+    m2 = mesh_lib.auto_mesh(8, P_agents=5)  # P=5: agent axis must divide 5
+    assert m2.shape[mesh_lib.AGENT_AXIS] in (1, 5)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ppermute"])
+def test_collective_consensus_matches_dense(rng, schedule):
+    mesh = _mesh()
+    B, Pn, n = 4, 8, 16
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, Pn, 0.5))
+    y = jnp.asarray(rng.standard_normal((B, Pn, n)).astype(np.float32))
+    want = np.asarray(graphs.consensus_delta(adj, y))
+
+    num_shards = mesh.shape[mesh_lib.AGENT_AXIS]
+    if schedule == "allgather":
+        fn = consensus_lib.consensus_allgather
+    else:
+        import functools
+        fn = functools.partial(consensus_lib.consensus_ppermute, num_shards=num_shards)
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(
+                P(mesh_lib.DATA_AXIS, mesh_lib.AGENT_AXIS, None),
+                P(mesh_lib.DATA_AXIS, mesh_lib.AGENT_AXIS),
+            ),
+            out_specs=P(mesh_lib.DATA_AXIS, mesh_lib.AGENT_AXIS),
+            check_vma=False,
+        )
+    )
+    got = np.asarray(shard_fn(adj, y))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ppermute"])
+def test_sharded_unroll_matches_dense(rng, schedule):
+    mesh = _mesh()
+    B, Pn, m, n, K = 4, 8, 6, 16, 4
+    A = sensing.set_A(jax.random.key(0), Pn, m, n)
+    AtA = sensing.gram(A)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, Pn, 0.5))
+    b = jnp.asarray(rng.standard_normal((B, Pn, m)).astype(np.float32))
+    Atb = sensing.At_apply(A, b)
+    state = dadmm_core.init_state(jax.random.key(1), B, Pn, n)
+    table = seq_hyperparam.hyp_table(
+        jnp.asarray(rng.standard_normal((K, Pn, 4)).astype(np.float32)),
+        jnp.asarray([0.1, 0.99, 0.99, 0.99]),
+    )
+
+    dense = dadmm_core.unroll_table(state, table, AtA, Atb, adj)
+    unroll = unfolded_sharded.make_sharded_unroll(mesh, schedule=schedule)
+    sharded = unroll(state, table, AtA, Atb, adj)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), rtol=2e-5, atol=2e-5)
+
+
+def test_gspmd_train_step_runs_and_matches_unsharded(rng):
+    mesh = _mesh(data=2, agents=4)
+    cfg = Config(P=8, m=6, n=12, GHyp_hidden=4, GHN_iter_num=2, batch_size=4, lr=1e-3)
+    A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
+    model = DLASSOGNNHyp(A, cfg)
+    params, norm_state = model.init(jax.random.key(1))
+    tx = optim.make_optimizer("adamw", cfg.lr, weight_decay=1e-5, clip_norm=100.0)
+    opt_state = tx.init(params)
+    b, y = data_ops.make_dataset(jax.random.key(2), A, cfg.batch_size)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, cfg.batch_size, cfg.P, 0.5))
+    key = jax.random.key(3)
+
+    # unsharded baseline
+    def loss_fn(p):
+        out = model.apply(p, norm_state, key, b, adj, training_iterations=2, training=True)
+        lm, lf = losses.compute_loss(out.Y, y)
+        return lf
+
+    lf_base = float(loss_fn(params))
+
+    bs, ys, adjs = mesh_lib.shard_batch(mesh, b, y, adj)
+    params_r, state_r, opt_r = mesh_lib.replicate(mesh, (params, norm_state, opt_state))
+    key_r = jax.device_put(key, mesh_lib.sharding(mesh))
+    step = shard_step.make_gnn_train_step(mesh, model, tx)
+    p2, s2, o2, lm, lf = step(params_r, state_r, opt_r, key_r, (bs, ys, adjs), 2)
+    assert np.isfinite(float(lf))
+    np.testing.assert_allclose(float(lf), lf_base, rtol=1e-4, atol=1e-5)
+    # params actually updated
+    diffs = jax.tree_util.tree_map(lambda a, b_: float(jnp.abs(a - b_).sum()), p2, params)
+    moved = sum(jax.tree_util.tree_leaves(diffs))
+    assert moved > 0
