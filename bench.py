@@ -1,0 +1,121 @@
+"""Benchmark: D-ADMM iterations/sec/chip on the real TPU.
+
+Prints ONE JSON line:
+    {"metric": "dadmm_iter_per_sec_per_chip", "value": N, "unit": "iter/s",
+     "vs_baseline": N / baseline, ...extras}
+
+Workload: the scaled single-host config from BASELINE.json — P=64 agents, batch 256
+scenarios, m=100, n=512, K=15 unfolded D-ADMM iterations (Gram matvec + soft-threshold
++ consensus + dual ascent per iteration), forward pass, float32.
+
+`vs_baseline` compares against the reference implementation style measured here on CPU
+with torch: per-agent Python-loop matvecs and the per-edge consensus triple loop
+(`unfolded_DLASSO.py:69-99,111-140` semantics), same shapes, one timed iteration
+(extrapolated). The reference repo publishes no throughput numbers (BASELINE.md), so
+its own algorithmic style at the same shapes is the baseline.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Benchmark config (BASELINE.json "scaled single-host" scenario)
+P, B, M, N, K = 64, 256, 100, 512, 15
+GRAPH_PROB = 0.5
+REPEATS = 30
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import dadmm_core, seq_hyperparam
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    # Gaussian A (skip the SVD conditioning: benchmark targets the iteration loop)
+    A = jax.random.normal(key, (P, M, N), jnp.float32) / np.sqrt(M)
+    AtA = sensing.gram(A)
+    b = jax.random.normal(jax.random.key(1), (B, P, M), jnp.float32)
+    Atb = sensing.At_apply(A, b)
+    adj = jnp.asarray(graphs.fast_sample_connected_er(0, B, P, GRAPH_PROB))
+    state = dadmm_core.init_state(jax.random.key(2), B, P, N)
+    table = seq_hyperparam.hyp_table(
+        0.05 * jnp.ones((K, P, 4), jnp.float32), jnp.asarray([0.1, 0.99, 0.99, 0.99])
+    )
+
+    unroll = jax.jit(
+        lambda st, tb: dadmm_core.unroll_table(st, tb, AtA, Atb, adj, remat=False)
+    )
+    import sys
+    print("compiling...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    Y = unroll(state, table)
+    jax.block_until_ready(Y)  # compile + warm
+    print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        Y = unroll(state, table)
+    jax.block_until_ready(Y)
+    dt = time.perf_counter() - t0
+    iters_per_sec = REPEATS * K / dt
+    return iters_per_sec, dt / REPEATS
+
+
+def bench_torch_reference_style():
+    """One D-ADMM iteration in the reference's implementation style (torch CPU,
+    per-agent loop + per-edge consensus loop), same shapes; extrapolated to iter/s."""
+    import torch
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops.graphs import sample_connected_er
+
+    adj = sample_connected_er(rng, 1, P, GRAPH_PROB)[0]
+    neighbors = [np.nonzero(adj[p])[0] for p in range(P)]
+    AtA = torch.randn(P, N, N)
+    Atb = torch.randn(B, P, N, 1)
+    y = torch.randn(B, P, N, 1) * 1e-2
+    U = torch.randn(B, P, N, 1) * 1e-2
+    delta = torch.randn(B, P, N, 1) * 1e-2
+    deg = torch.tensor(adj.sum(-1), dtype=torch.float32).view(1, P, 1, 1)
+    alpha = tau = rho = eta = 0.05
+
+    t0 = time.perf_counter()
+    AtAy = torch.zeros((B, P, N, 1))
+    for p in range(P):
+        AtAy[:, p] = torch.matmul(AtA[p], y[:, p])
+    grad = AtAy - Atb + y.sign() * tau + U * deg + delta * rho
+    grad = torch.clamp(grad, -30.0, 30.0)
+    y = torch.clamp(y - alpha * grad, -200.0, 200.0)
+    new_delta = torch.zeros_like(y)
+    for bb in range(B):
+        for p in range(P):
+            y_p = y[bb, p]
+            for j in neighbors[p]:
+                diff = y_p - y[bb, j]
+                new_delta[bb, p] += diff
+                new_delta[bb, j] -= diff
+    U = torch.clamp(U + eta * new_delta, -200.0, 200.0)
+    dt = time.perf_counter() - t0
+    return 1.0 / dt, dt
+
+
+def main():
+    tpu_ips, tpu_step = bench_tpu()
+    base_ips, base_step = bench_torch_reference_style()
+    print(json.dumps({
+        "metric": "dadmm_iter_per_sec_per_chip",
+        "value": round(tpu_ips, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(tpu_ips / base_ips, 2),
+        "config": f"P={P} B={B} m={M} n={N} K={K} fp32 forward",
+        "tpu_sec_per_unroll": round(tpu_step, 6),
+        "baseline": "reference-style torch CPU (per-agent loops + edge-loop consensus)",
+        "baseline_iter_per_sec": round(base_ips, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

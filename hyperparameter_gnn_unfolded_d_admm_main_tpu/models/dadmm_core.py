@@ -145,28 +145,57 @@ def unroll_table(
     consensus_fn: ConsensusFn = graph_ops.consensus_delta,
     nan_guard: bool = True,
     remat: bool = True,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Scan K iterations driven by a precomputed hyperparameter table.
 
     hyp_table: [K, Pp, 4] with Pp in {1, P}, columns (alpha, tau, rho, eta) — the output
     of `models.seq_hyperparam` for every k at once. Returns the stacked per-iteration
     primal iterates `Y [K, B, P, n]` (reference `unfolded_DLASSO.py:107-110`).
+
+    use_pallas routes the primal update through the fused TPU kernel
+    (`kernels/fused_iteration.py`); the consensus + dual steps stay in XLA. The
+    mid-iteration grad NaN-guard collapses into the terminal y guard on that path.
     """
     deg = graph_ops.degrees(adj)
+    P = adj.shape[-1]
 
-    def body(carry, xs):
-        st, k = carry, xs[0]
-        hyp_k = xs[1]  # [Pp, 4]
-        alpha = hyp_k[None, :, 0:1]
-        tau = hyp_k[None, :, 1:2]
-        rho = hyp_k[None, :, 2:3]
-        eta = hyp_k[None, :, 3:4]
-        AtAy = gram_matvec(AtA, st.y)
-        nxt = dadmm_step(
-            st, AtAy, Atb, deg, alpha, tau, rho, eta,
-            clamp_fn(k), adj, consensus_fn, nan_guard,
-        )
-        return nxt, nxt.y
+    if use_pallas:
+        from ..kernels.fused_iteration import fused_primal_update
+
+        def body(carry, xs):
+            st, k = carry, xs[0]
+            hyp_k = jnp.broadcast_to(xs[1], (P, 4))
+            y, U, delta = st
+            if nan_guard:
+                y = _reset_if_nonfinite(y, jnp.zeros_like(y))
+                U = _reset_if_nonfinite(U, jnp.zeros_like(U))
+            c = clamp_fn(k)
+            clips = jnp.stack([c.grad, c.value])
+            y_next = fused_primal_update(AtA, y, U, delta, Atb, deg, hyp_k, clips)
+            delta_next = consensus_fn(adj, y_next)
+            if c.delta is not None:
+                delta_next = jnp.clip(delta_next, -c.delta, c.delta)
+            eta = xs[1][None, :, 3:4]
+            U_next = jnp.clip(U + eta * delta_next, -c.dual, c.dual)
+            if nan_guard:
+                y_next = _reset_if_nonfinite(y_next, y)
+            nxt = SolverState(y=y_next, U=U_next, delta=delta_next)
+            return nxt, nxt.y
+    else:
+        def body(carry, xs):
+            st, k = carry, xs[0]
+            hyp_k = xs[1]  # [Pp, 4]
+            alpha = hyp_k[None, :, 0:1]
+            tau = hyp_k[None, :, 1:2]
+            rho = hyp_k[None, :, 2:3]
+            eta = hyp_k[None, :, 3:4]
+            AtAy = gram_matvec(AtA, st.y)
+            nxt = dadmm_step(
+                st, AtAy, Atb, deg, alpha, tau, rho, eta,
+                clamp_fn(k), adj, consensus_fn, nan_guard,
+            )
+            return nxt, nxt.y
 
     if remat:
         body = jax.checkpoint(body)
