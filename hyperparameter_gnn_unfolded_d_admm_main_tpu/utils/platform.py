@@ -7,11 +7,24 @@ the TPU backend before any user code runs (env-var overrides are therefore dead)
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 
-def select_device(device: str) -> None:
+def select_device(device: str, host_device_count: int | None = None) -> None:
     """Honor the reference `--device` flag (`configurations.py:108-110`): 'cpu' forces
-    the host backend; 'tpu'/'cuda:*'/anything else keeps the default accelerator."""
+    the host backend; 'tpu'/'cuda:*'/anything else keeps the default accelerator.
+
+    `host_device_count` requests N virtual CPU devices (mesh testing without
+    hardware). XLA reads the flag at backend creation, which is lazy — this works as
+    long as no computation ran yet in the process.
+    """
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        if host_device_count:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={host_device_count}"
+                ).strip()

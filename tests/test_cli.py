@@ -1,0 +1,72 @@
+"""CLI drivers end-to-end at tiny configs (CPU), compare tool, config round-trips."""
+
+import os
+
+import numpy as np
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import compare
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config, args_parser
+
+
+def test_args_parser_reference_flags():
+    cfg = args_parser(
+        ["--P", "7", "--graph_prob", "0.4", "--GHN_iter_num", "12", "--DADMM_mode", "same",
+         "--lr", "3e-4", "--optimizer", "sgd", "--no-nan_guard"]
+    )
+    assert cfg.P == 7 and cfg.graph_prob == 0.4 and cfg.GHN_iter_num == 12
+    assert cfg.DADMM_mode == "same" and cfg.optimizer == "sgd"
+    assert cfg.nan_guard is False
+
+
+def test_config_defaults_match_reference():
+    """Spot-check reference defaults (`configurations.py`)."""
+    cfg = Config()
+    assert (cfg.m, cfg.n, cfg.P) == (100, 500, 5)
+    assert cfg.alpha_max == 0.1 and cfg.tau_max == 0.99
+    assert cfg.rho == 0.2603 and cfg.alpha == 0.3013 and cfg.tau == 0.1142 and cfg.eta == 0.0867
+    assert cfg.max_iter == 25 and cfg.max_iter_seg == 2
+    assert cfg.GHN_iter_num == 15 and cfg.GHyp_hidden == 100
+
+
+def test_compare_cli(tmp_path, monkeypatch):
+    # two fake loss CSVs, reference schema (rightmost col = valid loss)
+    a = tmp_path / "a.csv"
+    a.write_text("epoch,train,valid\n" + "\n".join(f"{i},{1/(i+1)},{1.2/(i+1)}" for i in range(20)))
+    b = tmp_path / "b.csv"
+    b.write_text("mean,final\n" + "\n".join(f"{2/(i+1)},{1.5/(i+1)}" for i in range(15)))
+    monkeypatch.chdir(tmp_path)
+    results = compare.main([f"runA={a}", f"runB={b}"])
+    assert set(results) == {"runA", "runB"}
+    assert results["runA"]["final_loss"] < results["runB"]["final_loss"]
+    out_dirs = os.listdir(tmp_path / "results")
+    assert any(d.startswith("validation_loss_summary") for d in out_dirs)
+
+
+def test_classic_dlasso_cli_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import classic_loop
+
+    cfg = Config(P=4, max_iter=4, max_iter_seg=2, num_epochs=1, train_size=20,
+                 test_size=8, batch_size=4, lr=1e-2, seed=0)
+    res = classic_loop.train_classic_dlasso(cfg, str(tmp_path / "out"))
+    assert np.isfinite(res["best_valid_loss"])
+    assert res["hyp_table"].shape == (4, 4, 4)
+    # segment tables saved
+    saved = [f for f in os.listdir(tmp_path / "out") if f.startswith("params_")]
+    assert len(saved) >= 2
+    # eval path produces a loss-vs-iteration curve
+    curve = classic_loop.eval_classic_dlasso(cfg, np.asarray(res["hyp_table"]), str(tmp_path / "out"))
+    assert curve.shape == (4,)
+    assert np.isfinite(curve).all()
+
+
+def test_classic_dlr_cli_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import classic_loop
+
+    cfg = Config(P=4, case="dlr", model="same", max_iter=4, max_iter_seg=2, num_epochs=1,
+                 train_size=20, test_size=8, batch_size=4, lr=1e-3, seed=0,
+                 rho=2.4231e-05, alpha=4.3877e-04, eta=1.1221e-07)
+    res = classic_loop.train_classic_dlr(cfg, str(tmp_path / "out"))
+    assert np.isfinite(res["best_valid_loss"])
+    assert res["hyp_table"].shape == (4, 1, 6)
