@@ -45,22 +45,30 @@ def bench_tpu():
         0.05 * jnp.ones((K, P, 4), jnp.float32), jnp.asarray([0.1, 0.99, 0.99, 0.99])
     )
 
-    unroll = jax.jit(
-        lambda st, tb: dadmm_core.unroll_table(st, tb, AtA, Atb, adj, remat=False)
-    )
     import sys
-    print("compiling...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    Y = unroll(state, table)
-    jax.block_until_ready(Y)  # compile + warm
-    print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
+
+    def timed(tag, **kw):
+        unroll = jax.jit(
+            lambda st, tb: dadmm_core.unroll_table(st, tb, AtA, Atb, adj, remat=False, **kw)
+        )
+        print(f"compiling {tag}...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
         Y = unroll(state, table)
-    jax.block_until_ready(Y)
-    dt = time.perf_counter() - t0
-    iters_per_sec = REPEATS * K / dt
-    return iters_per_sec, dt / REPEATS
+        jax.block_until_ready(Y)  # compile + warm
+        print(f"compiled {tag} in {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            Y = unroll(state, table)
+        jax.block_until_ready(Y)
+        dt = time.perf_counter() - t0
+        return REPEATS * K / dt, dt / REPEATS
+
+    variants = {
+        "xla_fp32": timed("xla_fp32"),
+        "xla_bf16": timed("xla_bf16", matmul_dtype="bfloat16"),
+        "pallas_fp32": timed("pallas_fp32", use_pallas=True),
+    }
+    return variants
 
 
 def bench_torch_reference_style():
@@ -103,15 +111,17 @@ def bench_torch_reference_style():
 
 
 def main():
-    tpu_ips, tpu_step = bench_tpu()
+    variants = bench_tpu()
     base_ips, base_step = bench_torch_reference_style()
+    best_name, (best_ips, best_step) = max(variants.items(), key=lambda kv: kv[1][0])
     print(json.dumps({
         "metric": "dadmm_iter_per_sec_per_chip",
-        "value": round(tpu_ips, 2),
+        "value": round(best_ips, 2),
         "unit": "iter/s",
-        "vs_baseline": round(tpu_ips / base_ips, 2),
-        "config": f"P={P} B={B} m={M} n={N} K={K} fp32 forward",
-        "tpu_sec_per_unroll": round(tpu_step, 6),
+        "vs_baseline": round(best_ips / base_ips, 2),
+        "config": f"P={P} B={B} m={M} n={N} K={K} forward, best variant: {best_name}",
+        "variants_iter_per_sec": {k: round(v[0], 2) for k, v in variants.items()},
+        "sec_per_unroll": round(best_step, 6),
         "baseline": "reference-style torch CPU (per-agent loops + edge-loop consensus)",
         "baseline_iter_per_sec": round(base_ips, 4),
     }))

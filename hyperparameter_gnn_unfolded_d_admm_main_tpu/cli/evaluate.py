@@ -1,0 +1,89 @@
+"""Driver: inference/evaluation from a saved checkpoint.
+
+The reference's "serving" path is `dlasso.py --eval` — load learned hyperparameters,
+run the solver on a test batch, save the per-iteration loss curve (`dlasso.py:41-50`).
+This driver generalizes that to both trained model families: point it at a run
+directory produced by `unfolded_train_new` or `gnn_progressive`, and it reloads the
+checkpoint (`best/` by default), regenerates eval data from the run's config + saved A,
+and reports the loss-vs-iteration convergence curve, final loss, and NMSE.
+
+    python -m hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.evaluate \
+        results/20260817_..._unfolded_new [--ckpt last] [--device cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: evaluate <run_dir> [--ckpt best|last] [--device cpu] [--test_size N]")
+        return {}
+    run_dir = argv[0]
+    opts = dict(zip(argv[1::2], argv[2::2]))
+    ckpt_name = opts.get("--ckpt", "best")
+
+    with open(os.path.join(run_dir, "args.json")) as f:
+        cfg_dict = json.load(f)
+
+    from ..config import Config
+    from ..utils.platform import select_device
+
+    cfg = Config.from_json(json.dumps(cfg_dict))
+    select_device(opts.get("--device", cfg.device))
+    test_size = int(opts.get("--test_size", cfg.test_size))
+
+    import jax
+    import jax.numpy as jnp
+    from ..models.gnn_hypernet import DLASSOGNNHyp
+    from ..models.unfolded import UnfoldedDLASSO
+    from ..ops import data as data_ops, graphs
+    from ..train import losses
+    from ..utils import checkpoint as ckpt
+
+    A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
+    key = jax.random.key(int(cfg.seed) + 12345)
+    k_data, k_state = jax.random.split(key)
+    b, y = data_ops.make_dataset(k_data, A, test_size, cfg.snr, noise=cfg.data_noise)
+    adj = jnp.asarray(
+        graphs.fast_sample_connected_er(int(cfg.seed) + 7, test_size, cfg.P,
+                                        max(cfg.graph_prob, 0.3))
+    )
+
+    is_gnn = os.path.basename(os.path.normpath(run_dir)).endswith("progressive")
+    ckpt_dir = os.path.join(run_dir, ckpt_name)
+    if is_gnn:
+        model = DLASSOGNNHyp(A, cfg)
+        params, norm_state = model.init(jax.random.key(0))
+        tree, meta = ckpt.restore_partial(
+            ckpt_dir, {"params": params, "norm_state": norm_state}
+        )
+        out = model.apply(tree["params"], tree["norm_state"], k_state, b, adj,
+                          training=False)
+        Y = out.Y
+    else:
+        model = UnfoldedDLASSO(A, cfg)
+        params = model.init()
+        tree, meta = ckpt.restore_partial(ckpt_dir, {"params": params})
+        Y, _ = model.apply(tree["params"], k_state, b, adj, training=False)
+
+    curve = np.asarray(losses.per_iteration_losses(Y, y))
+    lm, lf = losses.compute_loss(Y, y)
+    nm = float(losses.nmse(Y[-1], y))
+    np.save(os.path.join(run_dir, f"eval_loss_curve_{ckpt_name}.npy"), curve)
+    print("per-iteration loss curve:")
+    for k, v in enumerate(curve):
+        print(f"  k={k + 1:3d}  loss={v:.6f}")
+    print(f"final-layer loss: {float(lf):.6f} | mean-layer loss: {float(lm):.6f} | "
+          f"NMSE: {nm:.6f} (ckpt: {ckpt_name}, epoch {meta.get('epoch') if meta else '?'})")
+    return {"loss_curve": curve, "final_loss": float(lf), "nmse": nm}
+
+
+if __name__ == "__main__":
+    main()

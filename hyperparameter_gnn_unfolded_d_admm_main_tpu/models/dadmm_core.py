@@ -67,11 +67,19 @@ def init_state(key: jax.Array, batch: int, P: int, n: int, dtype=jnp.float32) ->
     )
 
 
-def gram_matvec(AtA: jax.Array, y: jax.Array) -> jax.Array:
+def gram_matvec(AtA: jax.Array, y: jax.Array, matmul_dtype=None) -> jax.Array:
     """`A_p^T A_p y_p` batched over agents: AtA [P,n,n], y [B,P,n] -> [B,P,n].
 
     Replaces the reference per-agent loop (`unfolded_DLASSO.py:69-71`) with one einsum.
+    `matmul_dtype='bfloat16'` feeds the MXU in bf16 with f32 accumulation (2x MXU
+    throughput; iterate/output precision stays f32).
     """
+    if matmul_dtype is not None:
+        dt = jnp.dtype(matmul_dtype)
+        return jnp.einsum(
+            "pij,bpj->bpi", AtA.astype(dt), y.astype(dt),
+            preferred_element_type=jnp.float32,
+        ).astype(y.dtype)
     return jnp.einsum("pij,bpj->bpi", AtA, y)
 
 
@@ -146,6 +154,7 @@ def unroll_table(
     nan_guard: bool = True,
     remat: bool = True,
     use_pallas: bool = False,
+    matmul_dtype=None,
 ) -> jax.Array:
     """Scan K iterations driven by a precomputed hyperparameter table.
 
@@ -190,7 +199,7 @@ def unroll_table(
             tau = hyp_k[None, :, 1:2]
             rho = hyp_k[None, :, 2:3]
             eta = hyp_k[None, :, 3:4]
-            AtAy = gram_matvec(AtA, st.y)
+            AtAy = gram_matvec(AtA, st.y, matmul_dtype)
             nxt = dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,
                 clamp_fn(k), adj, consensus_fn, nan_guard,

@@ -45,5 +45,19 @@ def restore(path: str, target: Dict[str, Any]) -> Tuple[Dict[str, Any], Optional
     return tree, meta
 
 
+def restore_partial(path: str, targets: Dict[str, Any]) -> Tuple[Dict[str, Any], Optional[Dict]]:
+    """Restore only the requested top-level keys (e.g. params without optimizer state
+    — the inference path doesn't know the optimizer pytree)."""
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    out = {k: serialization.from_state_dict(t, raw[k]) for k, t in targets.items()}
+    meta = None
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return out, meta
+
+
 def exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "state.msgpack"))
