@@ -30,22 +30,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(hyp_ref, clip_ref, AtA_ref, y_ref, U_ref, delta_ref, Atb_ref, deg_ref, out_ref):
+def _kernel(hyp_ref, clip_ref, AtA_ref, y_ref, Udeg_ref, delta_ref, Atb_ref, out_ref):
+    p = pl.program_id(0)
     y = y_ref[0]                    # [Bt, n]
     # AtA is symmetric (A^T A), so y @ AtA == (AtA @ y^T)^T rowwise.
     AtAy = jnp.dot(y, AtA_ref[0], preferred_element_type=jnp.float32)
-    alpha = hyp_ref[0, 0]
-    tau = hyp_ref[0, 1]
-    rho = hyp_ref[0, 2]
+    alpha = hyp_ref[p, 0]
+    tau = hyp_ref[p, 1]
+    rho = hyp_ref[p, 2]
     gclip = clip_ref[0, 0]
     vclip = clip_ref[0, 1]
-    deg = deg_ref[0][:, None]       # [Bt, 1]
-    g = AtAy - Atb_ref[0] + jnp.sign(y) * tau + U_ref[0] * deg + delta_ref[0] * rho
+    g = AtAy - Atb_ref[0] + jnp.sign(y) * tau + Udeg_ref[0] + delta_ref[0] * rho
     g = jnp.clip(g, -gclip, gclip)
     out_ref[0] = jnp.clip(y - alpha * g, -vclip, vclip)
 
 
-def _pallas_forward(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips, block_b):
+def _pallas_forward(AtA, y_t, Udeg_t, delta_t, Atb_t, hyp, clips, block_b):
     P, B, n = y_t.shape
     grid = (P, B // block_b)
 
@@ -60,23 +60,24 @@ def _pallas_forward(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips, block_b):
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 4), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                # SMEM refs are whole-array (TPU lowering requires full or
+                # tile-divisible blocks); the kernel indexes by program id.
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                 data_spec,
                 data_spec,
                 data_spec,
                 data_spec,
-                pl.BlockSpec((1, block_b), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             ],
             out_specs=data_spec,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * P * B * n * n,
-            bytes_accessed=4 * (P * n * n + 5 * P * B * n + P * B),
+            bytes_accessed=4 * (P * n * n + 5 * P * B * n),
             transcendentals=0,
         ),
-    )(hyp, clips, AtA, y_t, U_t, delta_t, Atb_t, deg_t)
+    )(hyp, clips, AtA, y_t, Udeg_t, delta_t, Atb_t)
 
 
 def _jnp_reference(AtA, y, U, delta, Atb, deg, hyp, clips):
@@ -109,8 +110,9 @@ def fused_primal_update(AtA, y, U, delta, Atb, deg, hyp, clips):
     if B % block_b or n % 128:
         return _jnp_reference(AtA, y, U, delta, Atb, deg, hyp, clips)
     to_t = lambda x: jnp.transpose(x, (1, 0, 2))
+    Udeg = U * deg[..., None]
     out_t = _pallas_forward(
-        AtA, to_t(y), to_t(U), to_t(delta), to_t(Atb), deg.T, hyp, clips[None, :], block_b
+        AtA, to_t(y), to_t(Udeg), to_t(delta), to_t(Atb), hyp, clips[None, :], block_b
     )
     return jnp.transpose(out_t, (1, 0, 2))
 

@@ -75,6 +75,37 @@ def fast_sample_connected_er(seed: int, batch: int, P: int, prob: float) -> np.n
     return sample_connected_er(np.random.default_rng(seed), batch, P, prob)
 
 
+def sample_geometric(rng: np.random.Generator, P: int, radius: float) -> np.ndarray:
+    """Random geometric graph: P points uniform in the unit square, edges within
+    `radius`. The reference advertises a 'geometric' `--graph_type`
+    (`configurations.py:64-65`) but never implements it; provided here as a working
+    capability."""
+    pts = rng.random((P, 2))
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    adj = (d2 <= radius * radius).astype(np.float32)
+    np.fill_diagonal(adj, 0.0)
+    return adj
+
+
+def sample_graph_batch(
+    seed: int, batch: int, P: int, graph_type: str, prob: float
+) -> np.ndarray:
+    """Batched connected topology sampling dispatched on `--graph_type`.
+
+    'erods_renyi' (reference spelling): edge probability = prob (native fast path).
+    'geometric': connection radius = prob.
+    """
+    if graph_type in ("erods_renyi", "erdos_renyi"):
+        return fast_sample_connected_er(seed, batch, P, prob)
+    if graph_type == "geometric":
+        rng = np.random.default_rng(seed)
+        out = np.empty((batch, P, P), dtype=np.float32)
+        for i in range(batch):
+            out[i] = repair_connectivity(sample_geometric(rng, P, prob))
+        return out
+    raise ValueError(f"unknown graph_type {graph_type!r}")
+
+
 # ------------------------------------------------------------------- derived tensors
 
 

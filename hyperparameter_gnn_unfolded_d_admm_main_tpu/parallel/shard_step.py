@@ -32,7 +32,9 @@ def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTrans
         jax.jit,
         static_argnums=(5,),
         in_shardings=(repl, repl, repl, repl, (s_bpa, s_b, s_bpa)),
-        out_shardings=None,
+        # Keep params/opt state replicated on the way OUT too, so the next call's
+        # in_shardings match without a reshard.
+        out_shardings=(repl, repl, repl, repl, repl),
     )
     def train_step(params, norm_state, opt_state, key, batch, K: int):
         b, y, adj = batch

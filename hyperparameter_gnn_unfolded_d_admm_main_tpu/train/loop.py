@@ -42,10 +42,11 @@ def _fixed_graph_batch(seed: int, batch: int, P: int, prob: float) -> jnp.ndarra
     return jnp.broadcast_to(jnp.asarray(adj), (batch, P, P))
 
 
-def _fresh_graph_batch(seed: int, batch: int, P: int, prob: float) -> jnp.ndarray:
+def _fresh_graph_batch(seed: int, batch: int, P: int, prob: float,
+                       graph_type: str = "erods_renyi") -> jnp.ndarray:
     """Fresh connected per-sample graphs, p >= 0.3 (reference
     `gnn_dlasso_progressive.py:181-191`)."""
-    return jnp.asarray(graphs.fast_sample_connected_er(seed, batch, P, max(prob, 0.3)))
+    return jnp.asarray(graphs.sample_graph_batch(seed, batch, P, graph_type, max(prob, 0.3)))
 
 
 # --------------------------------------------------------------------------- unfolded
@@ -182,26 +183,56 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     tx = optim.make_optimizer("adamw", cfg.lr, weight_decay=1e-5, clip_norm=100.0)
     opt_state = tx.init(params)
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def train_step(params, norm_state, opt_state, key, batch, K):
-        b, y, adj = batch
+    # Optional multi-chip path: --mesh_data / --mesh_agents > 1 runs the GSPMD
+    # -partitioned step (parallel/shard_step.py) with batch/agent sharding.
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_agents > 1:
+        from ..parallel import mesh as mesh_lib
+        from ..parallel import shard_step
 
-        def loss_fn(p):
-            out = model.apply(p, norm_state, key, b, adj, training_iterations=K, training=True)
+        mesh = mesh_lib.make_mesh(data=cfg.mesh_data, agents=cfg.mesh_agents)
+        if cfg.P % cfg.mesh_agents or cfg.batch_size % cfg.mesh_data:
+            raise ValueError("P must divide by mesh_agents and batch_size by mesh_data")
+        params, norm_state, opt_state = mesh_lib.replicate(mesh, (params, norm_state, opt_state))
+        _sharded_train = shard_step.make_gnn_train_step(mesh, model, tx)
+        _sharded_eval = shard_step.make_gnn_eval_step(mesh, model)
+
+        def _place(key, batch):
+            b, y, adj = batch
+            b, y, adj = mesh_lib.shard_batch(mesh, b, y, adj)
+            return jax.device_put(key, mesh_lib.sharding(mesh)), (b, y, adj)
+
+        def train_step(params, norm_state, opt_state, key, batch, K):
+            key, batch = _place(key, batch)
+            params, new_state, opt_state, lm, lf = _sharded_train(
+                params, norm_state, opt_state, key, batch, K
+            )
+            return params, new_state, opt_state, lm, lf, None
+
+        def eval_step(params, norm_state, key, batch, K):
+            key, batch = _place(key, batch)
+            return _sharded_eval(params, norm_state, key, batch, K)
+    else:
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def train_step(params, norm_state, opt_state, key, batch, K):
+            b, y, adj = batch
+
+            def loss_fn(p):
+                out = model.apply(p, norm_state, key, b, adj, training_iterations=K, training=True)
+                lm, lf = losses.compute_loss(out.Y, y)
+                return lf, (lm, out.state, out.hyp_last)
+
+            (lf, (lm, new_state, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), new_state, opt_state, lm, lf, hyp
+
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def eval_step(params, norm_state, key, batch, K):
+            b, y, adj = batch
+            out = model.apply(params, norm_state, key, b, adj, training_iterations=K, training=False)
             lm, lf = losses.compute_loss(out.Y, y)
-            return lf, (lm, out.state, out.hyp_last)
-
-        (lf, (lm, new_state, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), new_state, opt_state, lm, lf, hyp
-
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def eval_step(params, norm_state, key, batch, K):
-        b, y, adj = batch
-        out = model.apply(params, norm_state, key, b, adj, training_iterations=K, training=False)
-        lm, lf = losses.compute_loss(out.Y, y)
-        nm = losses.nmse(out.Y[-1], y)
-        return lm, lf, nm
+            nm = losses.nmse(out.Y[-1], y)
+            return lm, lf, nm
 
     plateau = schedule.ReduceLROnPlateau(lr=cfg.lr, factor=0.7, patience=15, min_lr=1e-6)
     stopper = schedule.EarlyStopping(patience=20)
@@ -235,7 +266,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         tr_mean, tr_final, nb = 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
             graph_seed += 1
-            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob)
+            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob, cfg.graph_type)
             key, kstep = jax.random.split(key)
             with timer:
                 params, norm_state, opt_state, lm, lf, hyp = train_step(
@@ -251,7 +282,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         va_mean, va_final, va_nmse, nb = 0.0, 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_va, y_va, cfg.batch_size):
             graph_seed += 1
-            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob)
+            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob, cfg.graph_type)
             key, kstep = jax.random.split(key)
             lm, lf, nm = eval_step(params, norm_state, kstep, (b, y, adj), K)
             va_mean += float(lm)
