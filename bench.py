@@ -68,6 +68,35 @@ def bench_tpu():
         "xla_bf16": timed("xla_bf16", matmul_dtype="bfloat16"),
         "pallas_fp32": timed("pallas_fp32", use_pallas=True),
     }
+
+    # Full-unroll fused kernel: whole K-loop resident in VMEM (kernels/full_unroll.py).
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.kernels import full_unroll
+
+    deg = jnp.sum(adj, axis=-1)
+    clip_tab = full_unroll.unfolded_clip_table(K)
+    fused = jax.jit(
+        lambda st, tb: full_unroll.fused_unroll(
+            AtA, st.y, st.U, st.delta, Atb, deg, adj, tb, clip_tab
+        )
+    )
+    print("compiling pallas_full_unroll...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    Y = fused(state, table)
+    jax.block_until_ready(Y)
+    print(f"compiled pallas_full_unroll in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    # correctness vs the XLA path before timing
+    Y_ref = jax.jit(lambda st, tb: dadmm_core.unroll_table(
+        st, tb, AtA, Atb, adj, remat=False, nan_guard=False))(state, table)
+    err = float(jnp.max(jnp.abs(Y - Y_ref)) / (jnp.max(jnp.abs(Y_ref)) + 1e-9))
+    print(f"fused-vs-xla max rel err: {err:.2e}", file=sys.stderr, flush=True)
+    if err < 1e-3:
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            Y = fused(state, table)
+        jax.block_until_ready(Y)
+        dt = time.perf_counter() - t0
+        variants["pallas_full_unroll"] = (REPEATS * K / dt, dt / REPEATS)
     return variants
 
 

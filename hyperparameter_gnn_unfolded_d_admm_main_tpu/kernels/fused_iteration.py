@@ -98,6 +98,41 @@ def _pick_block_b(B: int) -> int:
     return B
 
 
+def _jnp_reference_pbn(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips):
+    """Equivalent jnp math in [P, B, n] layout (VJP/fallback for the transposed path)."""
+    alpha = hyp[:, 0][:, None, None]
+    tau = hyp[:, 1][:, None, None]
+    rho = hyp[:, 2][:, None, None]
+    AtAy = jnp.einsum("pij,pbj->pbi", AtA, y_t)
+    g = AtAy - Atb_t + jnp.sign(y_t) * tau + U_t * deg_t[..., None] + delta_t * rho
+    g = jnp.clip(g, -clips[0], clips[0])
+    return jnp.clip(y_t - alpha * g, -clips[1], clips[1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_primal_update_pbn(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips):
+    """Fused primal update in [P, B, n] layout — no per-call transposes; the layout the
+    Pallas grid wants. deg_t [P, B]; hyp [P, 4]; clips [2]."""
+    P, B, n = y_t.shape
+    block_b = _pick_block_b(B)
+    if B % block_b or n % 128:
+        return _jnp_reference_pbn(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips)
+    Udeg_t = U_t * deg_t[..., None]
+    return _pallas_forward(AtA, y_t, Udeg_t, delta_t, Atb_t, hyp, clips[None, :], block_b)
+
+
+def _fwd_pbn(*args):
+    return fused_primal_update_pbn(*args), args
+
+
+def _bwd_pbn(res, g_out):
+    _, vjp = jax.vjp(_jnp_reference_pbn, *res)
+    return vjp(g_out)
+
+
+fused_primal_update_pbn.defvjp(_fwd_pbn, _bwd_pbn)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def fused_primal_update(AtA, y, U, delta, Atb, deg, hyp, clips):
     """Fused primal update. [B,P,n] layout in/out.

@@ -170,7 +170,19 @@ def unroll_table(
     P = adj.shape[-1]
 
     if use_pallas:
-        from ..kernels.fused_iteration import fused_primal_update
+        # Entire unroll runs in [P, B, n] layout (one transpose in, one out) so the
+        # fused kernel's grid layout never forces per-iteration HBM transposes.
+        from ..kernels.fused_iteration import fused_primal_update_pbn
+
+        t = lambda x: jnp.transpose(x, (1, 0, 2))  # [B,P,n] <-> [P,B,n]
+        Atb_t = t(Atb)
+        deg_t = jnp.transpose(deg)                  # [P, B]
+        state = SolverState(y=t(state.y), U=t(state.U), delta=t(state.delta))
+
+        def consensus_pbn(y_t):
+            # delta = 2*(deg*y - adj@y) in [P,B,n]: contract adj against the agent dim.
+            neigh = jnp.einsum("bpq,qbn->pbn", adj, y_t)
+            return 2.0 * (deg_t[..., None] * y_t - neigh)
 
         def body(carry, xs):
             st, k = carry, xs[0]
@@ -181,16 +193,23 @@ def unroll_table(
                 U = _reset_if_nonfinite(U, jnp.zeros_like(U))
             c = clamp_fn(k)
             clips = jnp.stack([c.grad, c.value])
-            y_next = fused_primal_update(AtA, y, U, delta, Atb, deg, hyp_k, clips)
-            delta_next = consensus_fn(adj, y_next)
+            y_next = fused_primal_update_pbn(AtA, y, U, delta, Atb_t, deg_t, hyp_k, clips)
+            delta_next = consensus_pbn(y_next)
             if c.delta is not None:
                 delta_next = jnp.clip(delta_next, -c.delta, c.delta)
-            eta = xs[1][None, :, 3:4]
+            eta = hyp_k[:, 3][:, None, None]
             U_next = jnp.clip(U + eta * delta_next, -c.dual, c.dual)
             if nan_guard:
                 y_next = _reset_if_nonfinite(y_next, y)
             nxt = SolverState(y=y_next, U=U_next, delta=delta_next)
             return nxt, nxt.y
+
+        if remat:
+            body = jax.checkpoint(body)
+        K = hyp_table.shape[0]
+        ks = jnp.arange(K, dtype=jnp.float32)
+        _, Y_t = jax.lax.scan(body, state, (ks, hyp_table))
+        return jnp.transpose(Y_t, (0, 2, 1, 3))    # [K,P,B,n] -> [K,B,P,n]
     else:
         def body(carry, xs):
             st, k = carry, xs[0]

@@ -150,6 +150,31 @@ def test_compute_loss_nan_fallback():
     assert float(lm) == 1.0 and float(lf) == 1.0
 
 
+def test_bf16_matmul_path_close_to_f32(rng):
+    B, P, n, K = 2, 4, 16, 3
+    A, AtA, adj, b, Atb = _problem(rng, B=B, P=P, n=n, K=K)
+    state = dadmm_core.init_state(jax.random.key(5), B, P, n)
+    hyp = jnp.asarray(rng.uniform(0.01, 0.2, size=(K, P, 4)).astype(np.float32))
+    args = (state, hyp, jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj))
+    Y32 = dadmm_core.unroll_table(*args)
+    Y16 = dadmm_core.unroll_table(*args, matmul_dtype="bfloat16")
+    assert Y16.dtype == jnp.float32
+    # bf16 has ~3 decimal digits; iterates should track loosely
+    rel = float(jnp.abs(Y32 - Y16).max() / (jnp.abs(Y32).max() + 1e-9))
+    assert rel < 0.1
+
+
+def test_same_mode_table_broadcasts(rng):
+    B, P, n, K = 2, 4, 16, 3
+    A, AtA, adj, b, Atb = _problem(rng, B=B, P=P, n=n, K=K)
+    state = dadmm_core.init_state(jax.random.key(6), B, P, n)
+    hyp_same = jnp.asarray(rng.uniform(0.01, 0.2, size=(K, 1, 4)).astype(np.float32))
+    hyp_diff = jnp.broadcast_to(hyp_same, (K, P, 4))
+    Y1 = dadmm_core.unroll_table(state, hyp_same, jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj))
+    Y2 = dadmm_core.unroll_table(state, hyp_diff, jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj))
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-6)
+
+
 def test_nmse_zero_for_perfect():
     label = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5)), jnp.float32)
     Yf = jnp.broadcast_to(label[:, None, :], (2, 3, 5))
