@@ -29,7 +29,6 @@ unroll (the same recompute a remat'd scan performs).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -38,14 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(K: int, P: int, n: int, block_b: int, has_delta_clip: bool):
-    def kernel(hyp_ref, clip_ref, AtA_hbm, y0_ref, U0_ref, d0_ref, Atb_ref, deg_ref,
-               adj_ref, Y_hbm, y_sc, U_sc, d_sc, atay_sc, neigh_sc, ata_buf, dma_sems,
-               out_sem):
+    def kernel(hyp_ref, clip_ref, AtA_hbm, y0_hbm, U0_hbm, d0_hbm, Atb_hbm, deg_ref,
+               adj_ref, Y_hbm, y_sc, U_sc, d_sc, atay_sc, neigh_sc, Atb_sc, ata_buf,
+               dma_sems, out_sem):
         j = pl.program_id(0)
-        y_sc[:] = y0_ref[:]
-        U_sc[:] = U0_ref[:]
-        d_sc[:] = d0_ref[:]
-        Atb = Atb_ref[:]
+        # Load this batch tile's state/observations HBM -> VMEM scratch once. Keeping
+        # these as grid inputs would double-buffer four 1-tile VMEM blocks on top of
+        # the scratch and blow the 16MB VMEM budget.
+        tile = pl.ds(j * block_b, block_b)
+        for src, dst in ((y0_hbm, y_sc), (U0_hbm, U_sc), (d0_hbm, d_sc), (Atb_hbm, Atb_sc)):
+            cp = pltpu.make_async_copy(src.at[tile], dst, out_sem)
+            cp.start()
+            cp.wait()
+        Atb = Atb_sc[:]
         deg = deg_ref[:][..., None]                    # [Bt, P, 1]
 
         def ata_dma(slot, p):
@@ -158,7 +162,6 @@ def fused_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
 
     kernel = _make_kernel(K, P, n, block_b, has_delta_clip=True)
     grid = (B // block_b,)
-    tile3 = pl.BlockSpec((block_b, P, n), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)
     Y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((K, B, P, n), y0.dtype),
@@ -168,8 +171,11 @@ def fused_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # hyp_table [K,P,4]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # clip_table [K,4]
-                pl.BlockSpec(memory_space=pl.ANY),    # AtA stays in HBM
-                tile3, tile3, tile3, tile3,              # y0, U0, d0, Atb
+                pl.BlockSpec(memory_space=pl.ANY),       # AtA stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # y0 (DMA'd into scratch)
+                pl.BlockSpec(memory_space=pl.ANY),       # U0
+                pl.BlockSpec(memory_space=pl.ANY),       # d0
+                pl.BlockSpec(memory_space=pl.ANY),       # Atb
                 pl.BlockSpec((block_b, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_b, P, P), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
             ],
@@ -180,6 +186,7 @@ def fused_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
                 pltpu.VMEM((block_b, P, n), jnp.float32),  # delta
                 pltpu.VMEM((block_b, P, n), jnp.float32),  # AtAy
                 pltpu.VMEM((block_b, P, n), jnp.float32),  # neigh
+                pltpu.VMEM((block_b, P, n), jnp.float32),  # Atb
                 pltpu.VMEM((2, n, n), jnp.float32),        # AtA double buffer
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,

@@ -1,0 +1,66 @@
+"""Utility surfaces: profiling timers, CSV logger, checkpoint round-trips."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils import checkpoint as ckpt
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils.logging import CSVLogger, IOStream, StepTimer
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils.profiling import PhaseTimer
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["b"]["count"] == 1
+    assert s["a"]["total_s"] >= 0
+
+
+def test_step_timer_excludes_first():
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    assert t.steady_state_rate() > 0
+    t2 = StepTimer()
+    with t2:
+        pass
+    assert t2.steady_state_rate() == 0.0  # single (compile) step excluded
+
+
+def test_csv_logger_roundtrip(tmp_path):
+    log = CSVLogger(["epoch", "loss"])
+    log.append(epoch=1, loss=0.5)
+    log.append(epoch=2, loss=0.25)
+    path = str(tmp_path / "x.csv")
+    log.write(path)
+    rows = open(path).read().strip().splitlines()
+    assert rows[0] == "epoch,loss" and rows[2] == "2,0.25"
+    assert log.column("loss") == [0.5, 0.25]
+
+
+def test_iostream_tees(tmp_path, capsys):
+    s = IOStream(str(tmp_path / "run.log"))
+    s.cprint("hello")
+    s.close()
+    assert "hello" in open(tmp_path / "run.log").read()
+    assert "hello" in capsys.readouterr().out
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+    ckpt.save(str(tmp_path / "ck"), tree, {"epoch": 3})
+    target = {"a": jnp.zeros(5), "b": {"c": jnp.zeros((2, 3))}}
+    got, meta = ckpt.restore(str(tmp_path / "ck"), target)
+    np.testing.assert_allclose(np.asarray(got["a"]), np.arange(5.0))
+    assert meta["epoch"] == 3
+    # partial restore
+    part, _ = ckpt.restore_partial(str(tmp_path / "ck"), {"b": {"c": jnp.zeros((2, 3))}})
+    np.testing.assert_allclose(np.asarray(part["b"]["c"]), 1.0)
