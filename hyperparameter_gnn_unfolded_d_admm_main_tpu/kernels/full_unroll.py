@@ -1,34 +1,46 @@
 """Pallas TPU kernel: the ENTIRE K-iteration D-ADMM unroll in one kernel.
 
 Motivation (measured, see PARITY.md): the per-iteration XLA graph is HBM-bound — every
-iteration re-reads/rewrites the y/U/delta/Atb state (~300 MB per iteration at the
-benchmark shape), capping throughput near 1.8k iter/s. This kernel holds the full
-solver state for a batch tile *resident in VMEM across all K iterations*; the only
+iteration re-reads/rewrites the y/U/delta/Atb state from HBM. This kernel holds the
+full solver state for a batch tile *resident in VMEM across all K iterations*; the
 recurring HBM traffic is the AtA stream (double-buffered DMA, one [n, n] Gram block per
-agent per iteration) and one y-snapshot write per iteration. That moves the bound from
-~300 MB/iter to ~(P·n·n·4 + tile) bytes/iter — several times faster at the benchmark
-shape.
+agent per iteration) and one y-snapshot write per iteration.
+
+Layout: everything inside the kernel is agent-leading `[P, Bt, n]` so every dynamic
+index (agent p in the matvec loop, source agent q in the consensus loop) is a LEADING
+-dimension or `pl.ds` slice — traced *middle*-dimension indexing miscompiles silently
+on TPU for wide tiles (observed: exact at Bt=8, garbage at Bt=64). The host wrapper
+pre-transposes inputs once per call and transposes the stacked output back.
 
 Structure per program (grid over batch tiles of `block_b` scenarios):
     for k in range(K):                       # static unroll
         fori_loop over agents p:             # double-buffered DMA of AtA[p]
-            AtAy[:, p, :] = y[:, p, :] @ AtA_p
+            AtAy[p] = y[p] @ AtA_p           # [Bt, n] @ [n, n] on the MXU
         grad  = AtAy - Atb + tau_k*sign(y) + deg*U + rho_k*delta   (vectorized, VPU)
         y     = clip(y - alpha_k * clip(grad, g_k), v_k)
-        fori_loop over scenarios b:          # consensus: per-sample [P,P]@[P,n]
-            neigh[b] = adj[b] @ y[b]
-        delta = 2*(deg*y - neigh)  (clipped when the ladder says so)
+        fori_loop over source agents q:      # consensus as broadcast FMAs
+            neigh += adjP[:, :, q:q+1] * y[q]
+        delta = 2*(deg*y - neigh)            (clipped when the ladder says so)
         U     = clip(U + eta_k*delta, d_k)
-        DMA y -> Y_out[k, tile]
+        DMA y -> Y_out[k, :, tile]
 
 Semantics: identical to `dadmm_core.unroll_table` with `nan_guard=False` (the NaN
 whole-tensor reset needs a cross-tile reduction; use the XLA path when you want the
-reference's guard behavior). Gradients via custom VJP that recomputes through the jnp
-unroll (the same recompute a remat'd scan performs).
+reference's guard behavior) up to floating-point association: the consensus FMA loop
+accumulates in a different order than the einsum dot products, and the sign()
+discontinuity chaotically amplifies that ~1e-7 difference over many iterations — both
+trajectories are equally valid solver runs. Gradients via custom VJP that recomputes
+through the jnp unroll (the same recompute a remat'd scan performs).
+
+Measured status (v5e single chip, see PARITY.md): correct, but SLOWER than the XLA
+scan path at both benchmark shapes (P=8: 7.5k vs 10.5k iter/s; P=64: 0.2k vs 2.5k) —
+Mosaic serializes the DMA waits and small-M matmuls that XLA's fused per-iteration
+graph pipelines. XLA is within ~75% of the HBM roofline here, so this kernel is kept
+as infrastructure (and as the template for a multi-chip RDMA variant), not wired into
+the production paths.
 """
 
 from __future__ import annotations
-
 
 import jax
 import jax.numpy as jnp
@@ -36,21 +48,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(K: int, P: int, n: int, block_b: int, has_delta_clip: bool):
-    def kernel(hyp_ref, clip_ref, AtA_hbm, y0_hbm, U0_hbm, d0_hbm, Atb_hbm, deg_ref,
-               adj_ref, Y_hbm, y_sc, U_sc, d_sc, atay_sc, neigh_sc, Atb_sc, ata_buf,
+def _make_kernel(K: int, P: int, n: int, block_b: int):
+    def kernel(hyp_ref, clip_ref, AtA_hbm, y0_hbm, U0_hbm, d0_hbm, Atb_hbm,
+               adjQ_ref, Y_hbm, y_sc, U_sc, d_sc, atay_sc, neigh_sc, Atb_sc, ata_buf,
                dma_sems, out_sem):
         j = pl.program_id(0)
-        # Load this batch tile's state/observations HBM -> VMEM scratch once. Keeping
-        # these as grid inputs would double-buffer four 1-tile VMEM blocks on top of
-        # the scratch and blow the 16MB VMEM budget.
+        # Load this batch tile's state/observations HBM -> VMEM scratch once (keeping
+        # them as grid inputs would double-buffer four tile-sized VMEM blocks on top
+        # of the scratch and blow the VMEM budget).
         tile = pl.ds(j * block_b, block_b)
         for src, dst in ((y0_hbm, y_sc), (U0_hbm, U_sc), (d0_hbm, d_sc), (Atb_hbm, Atb_sc)):
-            cp = pltpu.make_async_copy(src.at[tile], dst, out_sem)
+            cp = pltpu.make_async_copy(src.at[:, tile], dst, out_sem)
             cp.start()
             cp.wait()
         Atb = Atb_sc[:]
-        deg = deg_ref[:][..., None]                    # [Bt, P, 1]
+        # Degrees derived from the (full-row) adjacency block: deg[p,b] = sum_q adj.
+        deg_bq = jnp.sum(adjQ_ref[:], axis=0)           # [Bt, P]: deg[b,p]
+        deg = jnp.transpose(deg_bq)[..., None]         # [P, Bt, 1]
 
         def ata_dma(slot, p):
             return pltpu.make_async_copy(
@@ -70,19 +84,18 @@ def _make_kernel(K: int, P: int, n: int, block_b: int, has_delta_clip: bool):
                     ata_dma(nxt, p + 1).start()
 
                 ata_dma(slot, p).wait()
-                yp = y_sc[:, p, :]                     # [Bt, n]
-                atay_sc[:, p, :] = jnp.dot(
-                    yp, ata_buf[slot], preferred_element_type=jnp.float32
+                atay_sc[p] = jnp.dot(
+                    y_sc[p], ata_buf[slot], preferred_element_type=jnp.float32
                 )
                 return 0
 
             jax.lax.fori_loop(0, P, body, 0)
 
             hyp_k = hyp_ref[k]                         # [P, 4] (VMEM)
-            alpha = hyp_k[:, 0][None, :, None]
-            tau = hyp_k[:, 1][None, :, None]
-            rho = hyp_k[:, 2][None, :, None]
-            eta = hyp_k[:, 3][None, :, None]
+            alpha = hyp_k[:, 0][:, None, None]
+            tau = hyp_k[:, 1][:, None, None]
+            rho = hyp_k[:, 2][:, None, None]
+            eta = hyp_k[:, 3][:, None, None]
             gclip = clip_ref[k, 0]
             vclip = clip_ref[k, 1]
             dclip = clip_ref[k, 2]
@@ -94,23 +107,23 @@ def _make_kernel(K: int, P: int, n: int, block_b: int, has_delta_clip: bool):
             y = jnp.clip(y - alpha * grad, -vclip, vclip)
             y_sc[:] = y
 
-            # ---- consensus: per-scenario neighbor aggregation on the MXU
-            def cons(b, _):
-                neigh_sc[b] = jnp.dot(
-                    adj_ref[b], y_sc[b], preferred_element_type=jnp.float32
-                )
-                return 0
+            # ---- consensus: neigh[p,b] = sum_q adj[b,p,q] y[q,b] as broadcast FMAs.
+            # adjQ is source-agent-leading so every dynamic index is a leading-dim
+            # ref read (lane/sublane dynamic slices don't lower).
+            def cons(q, acc):
+                w = jnp.transpose(adjQ_ref[q])         # [Bt, P] -> [P, Bt]
+                return acc + w[..., None] * y_sc[q][None, :, :]
 
-            jax.lax.fori_loop(0, block_b, cons, 0)
+            neigh = jax.lax.fori_loop(0, P, cons, jnp.zeros_like(neigh_sc))
+            neigh_sc[:] = neigh
             delta = 2.0 * (deg * y_sc[:] - neigh_sc[:])
-            if has_delta_clip:
-                delta = jnp.clip(delta, -dclip, dclip)
+            delta = jnp.clip(delta, -dclip, dclip)
             d_sc[:] = delta
             U_sc[:] = jnp.clip(U_sc[:] + eta * delta, -uclip, uclip)
 
             # ---- stream this iteration's snapshot out
             out_dma = pltpu.make_async_copy(
-                y_sc, Y_hbm.at[k, pl.ds(j * block_b, block_b)], out_sem
+                y_sc, Y_hbm.at[k, :, tile], out_sem
             )
             out_dma.start()
             out_dma.wait()
@@ -118,9 +131,14 @@ def _make_kernel(K: int, P: int, n: int, block_b: int, has_delta_clip: bool):
     return kernel
 
 
-def _pick_block_b(B: int) -> int:
-    for cand in (8, 16, 4, 2):
-        if B % cand == 0:
+def _pick_block_b(B: int, P: int, n: int) -> int:
+    """Largest batch tile whose 6 state buffers + AtA double-buffer fit the VMEM
+    budget. Bigger tiles mean fuller MXU rows in the per-agent matvec — at the
+    reference's small-P shapes (P<=8, n=512) this reaches Bt=128 (full MXU); at
+    P=64 it degrades to Bt=8 (where the XLA path wins; see PARITY.md)."""
+    budget = 12 * 1024 * 1024 - 2 * n * n * 4
+    for cand in (256, 128, 64, 32, 16, 8, 4, 2):
+        if B % cand == 0 and 6 * cand * P * n * 4 <= budget:
             return cand
     return B
 
@@ -152,19 +170,21 @@ def _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
 def fused_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
     """Full-K fused unroll. Shapes: AtA [P,n,n]; y0/U0/d0/Atb [B,P,n]; deg [B,P];
     adj [B,P,P]; hyp_table [K,P,4] (alpha,tau,rho,eta); clip_table [K,4]
-    (grad, value, delta, dual — use jnp.inf-free big values for "no clamp").
+    (grad, value, delta, dual — use large finite values for "no clamp").
     Returns Y [K,B,P,n]."""
     B, P, n = y0.shape
     K = hyp_table.shape[0]
-    block_b = _pick_block_b(B)
+    block_b = _pick_block_b(B, P, n)
     if B % block_b or n % 128 or P % 8:
         return _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table)
 
-    kernel = _make_kernel(K, P, n, block_b, has_delta_clip=True)
+    t = lambda x: jnp.transpose(x, (1, 0, 2))          # [B,P,n] -> [P,B,n]
+    adjQ = jnp.transpose(adj, (2, 0, 1))               # [P(q), B, P(p)]
+    kernel = _make_kernel(K, P, n, block_b)
     grid = (B // block_b,)
     Y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((K, B, P, n), y0.dtype),
+        out_shape=jax.ShapeDtypeStruct((K, P, B, n), y0.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -172,21 +192,20 @@ def fused_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # hyp_table [K,P,4]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # clip_table [K,4]
                 pl.BlockSpec(memory_space=pl.ANY),       # AtA stays in HBM
-                pl.BlockSpec(memory_space=pl.ANY),       # y0 (DMA'd into scratch)
+                pl.BlockSpec(memory_space=pl.ANY),       # y0 [P,B,n] (DMA'd to scratch)
                 pl.BlockSpec(memory_space=pl.ANY),       # U0
                 pl.BlockSpec(memory_space=pl.ANY),       # d0
                 pl.BlockSpec(memory_space=pl.ANY),       # Atb
-                pl.BlockSpec((block_b, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_b, P, P), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, block_b, P), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # Y written via DMA
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # Y [K,P,B,n] via DMA
             scratch_shapes=[
-                pltpu.VMEM((block_b, P, n), jnp.float32),  # y
-                pltpu.VMEM((block_b, P, n), jnp.float32),  # U
-                pltpu.VMEM((block_b, P, n), jnp.float32),  # delta
-                pltpu.VMEM((block_b, P, n), jnp.float32),  # AtAy
-                pltpu.VMEM((block_b, P, n), jnp.float32),  # neigh
-                pltpu.VMEM((block_b, P, n), jnp.float32),  # Atb
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # y
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # U
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # delta
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # AtAy
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # neigh
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # Atb
                 pltpu.VMEM((2, n, n), jnp.float32),        # AtA double buffer
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
@@ -198,8 +217,8 @@ def fused_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
             bytes_accessed=4 * K * (P * n * n + B * P * n),
             transcendentals=0,
         ),
-    )(hyp_table, clip_table, AtA, y0, U0, d0, Atb, deg, adj)
-    return Y
+    )(hyp_table, clip_table, AtA, t(y0), t(U0), t(d0), t(Atb), adjQ)
+    return jnp.transpose(Y, (0, 2, 1, 3))              # [K,P,B,n] -> [K,B,P,n]
 
 
 def _fwd(*args):
