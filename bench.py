@@ -65,6 +65,7 @@ def bench_tpu():
 
     variants = {
         "xla_fp32": timed("xla_fp32"),
+        "xla_fp32_noguard": timed("xla_fp32_noguard", nan_guard=False),
         "xla_bf16": timed("xla_bf16", matmul_dtype="bfloat16"),
         "pallas_fp32": timed("pallas_fp32", use_pallas=True),
     }

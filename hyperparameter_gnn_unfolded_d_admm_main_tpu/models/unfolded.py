@@ -76,3 +76,35 @@ class UnfoldedDLASSO:
             remat=self.cfg.remat,
         )
         return Y, table[K - 1]
+
+    def apply_losses(
+        self,
+        params: dict,
+        key: jax.Array,
+        b: jax.Array,
+        adj: jax.Array,
+        label: jax.Array,
+        K: Optional[int] = None,
+        training: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Fast training path: per-iteration per-agent MSEs `[K, P]` computed inside
+        the scan (no stacked-Y materialization); feed to
+        `train.losses.losses_from_per_kp`. Returns (per_kp, hyp at final iteration)."""
+        K = self.K if K is None else min(K, self.K)
+        batch = b.shape[0]
+        Atb = sensing.At_apply(self.A, b)
+        state = dadmm_core.init_state(key, batch, self.P, self.n, dtype=b.dtype)
+        table = seq_hyperparam.hyp_table(
+            params["seq_hyp"],
+            self.max_param,
+            training=training,
+            max_penalty_threshold=self.cfg.max_penalty_threshold,
+            penalty_reduction_factor=self.cfg.penalty_reduction_factor,
+        )[:K]
+        per_kp = dadmm_core.unroll_table_losses(
+            state, table, self.AtA, Atb, adj, label,
+            clamp_fn=dadmm_core.unfolded_clamps,
+            nan_guard=self.cfg.nan_guard,
+            remat=self.cfg.remat,
+        )
+        return per_kp, table[K - 1]

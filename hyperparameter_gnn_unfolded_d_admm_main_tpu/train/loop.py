@@ -71,8 +71,9 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
     @jax.jit
     def train_step(params, opt_state, key, b, y):
         def loss_fn(p):
-            Y, hyp = model.apply(p, key, b, adj, training=True)
-            lm, lf = losses.compute_loss(Y, y)
+            # In-scan loss reduction — no stacked-Y materialization on the train path.
+            per_kp, hyp = model.apply_losses(p, key, b, adj, y, training=True)
+            lm, lf = losses.losses_from_per_kp(per_kp)
             return lf, (lm, hyp)
 
         (lf, (lm, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -30,6 +30,15 @@ def compute_loss(Y: jnp.ndarray, label: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.n
     return loss_mean, loss_final
 
 
+def losses_from_per_kp(per_kp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`compute_loss` outputs from in-scan per-(iteration, agent) MSEs `[K, P]`
+    (`dadmm_core.unroll_table_losses` fast path) — same epsilons and NaN fallbacks."""
+    losses = jnp.mean(per_kp, axis=1)
+    loss_mean = _nan_fallback(jnp.mean(losses) + 1e-8)
+    loss_final = _nan_fallback(losses[-1] + 1e-8)
+    return loss_mean, loss_final
+
+
 def compute_loss2(Y: jnp.ndarray, label: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Label-magnitude-weighted variant (`gnn_dlasso_utils.py:18-25`, unused by the
     live reference drivers but part of the API surface)."""

@@ -175,6 +175,30 @@ def test_same_mode_table_broadcasts(rng):
     np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-6)
 
 
+def test_apply_losses_matches_full_Y(rng):
+    """In-scan loss path == compute_loss(full Y) in value AND gradient."""
+    cfg = Config(P=4, m=12, n=16, GHN_iter_num=5, batch_size=2, DADMM_mode="diff")
+    A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
+    model = unfolded.UnfoldedDLASSO(A, cfg)
+    params = {"seq_hyp": jnp.asarray(rng.standard_normal((5, 4, 4)).astype(np.float32))}
+    b, y = data_ops.make_dataset(jax.random.key(3), A, 4, snr=cfg.snr)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, 4, cfg.P, 0.6))
+    key = jax.random.key(7)
+
+    def slow(p):
+        Y, _ = model.apply(p, key, b, adj)
+        return losses.compute_loss(Y, y)[1]
+
+    def fast(p):
+        per_kp, _ = model.apply_losses(p, key, b, adj, y)
+        return losses.losses_from_per_kp(per_kp)[1]
+
+    np.testing.assert_allclose(float(slow(params)), float(fast(params)), rtol=1e-6)
+    g1 = jax.grad(slow)(params)["seq_hyp"]
+    g2 = jax.grad(fast)(params)["seq_hyp"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-7)
+
+
 def test_nmse_zero_for_perfect():
     label = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5)), jnp.float32)
     Yf = jnp.broadcast_to(label[:, None, :], (2, 3, 5))
