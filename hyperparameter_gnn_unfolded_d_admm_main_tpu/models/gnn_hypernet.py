@@ -195,3 +195,48 @@ class DLASSOGNNHyp(object):
         )
         hyp_last = tuple(h[-1] for h in hyps)
         return GNNHypOutput(Y=Y, hyp_last=hyp_last, state=bn_state)
+
+    def apply_losses(
+        self,
+        params: dict,
+        state: dict,
+        key: jax.Array,
+        b: jax.Array,
+        adj: jax.Array,
+        label: jax.Array,
+        training_iterations: Optional[int] = None,
+        training: bool = True,
+    ):
+        """Training fast path: per-iteration per-agent MSEs `[K, P]` reduced inside the
+        scan (no stacked-Y materialization). Returns (per_kp, hyp_last, new_state)."""
+        K = self.K if training_iterations is None else int(training_iterations)
+        B = b.shape[0]
+        Atb = sensing.At_apply(self.A, b)
+        deg = graph_ops.degrees(adj)
+        norm_adj = graph_ops.gcn_norm_adj(adj)
+        k_init, k_scan = jax.random.split(key)
+        st0 = dadmm_core.init_state(k_init, B, self.P, self.n, dtype=b.dtype)
+        nan_guard = self.cfg.nan_guard
+
+        def body(carry, k):
+            st, bn_state = carry
+            kk = jax.random.fold_in(k_scan, k)
+            AtAy = dadmm_core.gram_matvec(self.AtA, st.y)
+            (alpha, tau, rho, eta), bn_state = self._hyper(
+                params, bn_state, kk, AtAy, Atb, norm_adj, training
+            )
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, deg, alpha, tau, rho, eta,
+                dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
+            )
+            diff = nxt.y - label[:, None, :]
+            per_p = jnp.mean(diff * diff, axis=(0, 2))
+            return (nxt, bn_state), (per_p, (alpha, tau, rho, eta))
+
+        if self.cfg.remat:
+            body = jax.checkpoint(body)
+        (st, bn_state), (per_kp, hyps) = jax.lax.scan(
+            body, (st0, state), jnp.arange(K, dtype=jnp.int32)
+        )
+        hyp_last = tuple(h[-1] for h in hyps)
+        return per_kp, hyp_last, bn_state

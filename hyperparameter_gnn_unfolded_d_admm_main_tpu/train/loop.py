@@ -219,9 +219,11 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
             b, y, adj = batch
 
             def loss_fn(p):
-                out = model.apply(p, norm_state, key, b, adj, training_iterations=K, training=True)
-                lm, lf = losses.compute_loss(out.Y, y)
-                return lf, (lm, out.state, out.hyp_last)
+                per_kp, hyp, new_state = model.apply_losses(
+                    p, norm_state, key, b, adj, y, training_iterations=K, training=True
+                )
+                lm, lf = losses.losses_from_per_kp(per_kp)
+                return lf, (lm, new_state, hyp)
 
             (lf, (lm, new_state, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(g, opt_state, params)

@@ -94,6 +94,24 @@ def test_eval_mode_is_deterministic_and_freezes_state(rng):
     )
 
 
+def test_apply_losses_matches_full_Y(rng):
+    cfg, model, params, state, b, y, adj = _setup(rng)
+    key = jax.random.key(9)
+
+    def slow(p):
+        out = model.apply(p, state, key, b, adj, training=True)
+        return losses.compute_loss(out.Y, y)[1]
+
+    def fast(p):
+        per_kp, hyp, new_state = model.apply_losses(p, state, key, b, adj, y, training=True)
+        return losses.losses_from_per_kp(per_kp)[1]
+
+    np.testing.assert_allclose(float(slow(params)), float(fast(params)), rtol=1e-6)
+    g1 = jax.grad(slow)(params)["decoder"]["fc"]["w"]
+    g2 = jax.grad(fast)(params)["decoder"]["fc"]["w"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-7)
+
+
 def test_fc_bias_conservative_init(rng):
     """Reference `gnn_dlasso_models_progressive.py:118-123`: first 4 fc bias entries."""
     cfg, model, params, state, b, y, adj = _setup(rng)
