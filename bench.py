@@ -100,12 +100,27 @@ def bench_tpu():
             jax.block_until_ready(Y)
             print(f"compiled pallas_full_unroll in {time.perf_counter() - t0:.1f}s",
                   file=sys.stderr, flush=True)
-            t0 = time.perf_counter()
-            for _ in range(REPEATS):
-                Y = fused(state, table)
-            jax.block_until_ready(Y)
-            dt = time.perf_counter() - t0
-            variants["pallas_full_unroll"] = (REPEATS * K / dt, dt / REPEATS)
+            # On-hardware parity gate at K=1 (before the sign() discontinuity can
+            # amplify the benign FMA-vs-einsum association difference): this kernel
+            # class has a silent-miscompile history, never time unchecked output.
+            Y1 = jax.jit(lambda: full_unroll.fused_unroll(
+                AtA, state.y, state.U, state.delta, Atb, deg, adj,
+                table[:1], clip_tab[:1]))()
+            Y1_ref = jax.jit(full_unroll._jnp_unroll)(
+                AtA, state.y, state.U, state.delta, Atb, deg, adj,
+                table[:1], clip_tab[:1])
+            err = float(jnp.max(jnp.abs(Y1 - Y1_ref)) / (jnp.max(jnp.abs(Y1_ref)) + 1e-9))
+            print(f"fused K=1 parity rel err: {err:.2e}", file=sys.stderr, flush=True)
+            if err < 1e-3:
+                t0 = time.perf_counter()
+                for _ in range(REPEATS):
+                    Y = fused(state, table)
+                jax.block_until_ready(Y)
+                dt = time.perf_counter() - t0
+                variants["pallas_full_unroll"] = (REPEATS * K / dt, dt / REPEATS)
+            else:
+                print("skipping pallas_full_unroll timing: parity gate failed",
+                      file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"variant pallas_full_unroll failed: {e}", file=sys.stderr, flush=True)
     return variants

@@ -51,12 +51,21 @@ def main(argv=None):
     key = jax.random.key(int(cfg.seed) + 12345)
     k_data, k_state = jax.random.split(key)
     b, y = data_ops.make_dataset(k_data, A, test_size, cfg.snr, noise=cfg.data_noise)
-    adj = jnp.asarray(
-        graphs.fast_sample_connected_er(int(cfg.seed) + 7, test_size, cfg.P,
-                                        max(cfg.graph_prob, 0.3))
-    )
 
     is_gnn = os.path.basename(os.path.normpath(run_dir)).endswith("progressive")
+    if is_gnn:
+        # GNN runs train on fresh per-sample connected graphs; evaluate likewise.
+        adj = jnp.asarray(
+            graphs.fast_sample_connected_er(int(cfg.seed) + 7, test_size, cfg.P,
+                                            max(cfg.graph_prob, 0.3))
+        )
+    else:
+        # Scalar-table runs train against ONE fixed graph (train/loop.py
+        # _fixed_graph_batch); the learned table is specific to that Laplacian, so
+        # evaluation must reconstruct the same topology from the run's seed.
+        rng_g = np.random.default_rng(int(cfg.seed))
+        one = graphs.sample_er_adjacency(rng_g, cfg.P, cfg.graph_prob)
+        adj = jnp.broadcast_to(jnp.asarray(one), (test_size, cfg.P, cfg.P))
     ckpt_dir = os.path.join(run_dir, ckpt_name)
     if is_gnn:
         model = DLASSOGNNHyp(A, cfg)

@@ -140,7 +140,7 @@ def _pick_block_b(B: int, P: int, n: int) -> int:
     for cand in (256, 128, 64, 32, 16, 8, 4, 2):
         if B % cand == 0 and 6 * cand * P * n * 4 <= budget:
             return cand
-    return B
+    return 0  # sentinel: nothing fits/divides -> caller takes the jnp fallback
 
 
 def _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
@@ -175,7 +175,7 @@ def fused_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
     B, P, n = y0.shape
     K = hyp_table.shape[0]
     block_b = _pick_block_b(B, P, n)
-    if B % block_b or n % 128 or P % 8:
+    if not block_b or B % block_b or n % 128 or P % 8:
         return _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table)
 
     t = lambda x: jnp.transpose(x, (1, 0, 2))          # [B,P,n] -> [P,B,n]

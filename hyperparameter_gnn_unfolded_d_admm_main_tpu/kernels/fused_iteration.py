@@ -95,7 +95,7 @@ def _pick_block_b(B: int) -> int:
     for cand in (256, 128, 64, 32, 16, 8):
         if B % cand == 0:
             return cand
-    return B
+    return 0  # sentinel: no 8-multiple tile divides B -> caller takes the jnp fallback
 
 
 def _jnp_reference_pbn(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips):
@@ -115,7 +115,7 @@ def fused_primal_update_pbn(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips):
     Pallas grid wants. deg_t [P, B]; hyp [P, 4]; clips [2]."""
     P, B, n = y_t.shape
     block_b = _pick_block_b(B)
-    if B % block_b or n % 128:
+    if not block_b or B % block_b or n % 128:
         return _jnp_reference_pbn(AtA, y_t, U_t, delta_t, Atb_t, deg_t, hyp, clips)
     Udeg_t = U_t * deg_t[..., None]
     return _pallas_forward(AtA, y_t, Udeg_t, delta_t, Atb_t, hyp, clips[None, :], block_b)
@@ -142,7 +142,7 @@ def fused_primal_update(AtA, y, U, delta, Atb, deg, hyp, clips):
     """
     B, P, n = y.shape
     block_b = _pick_block_b(B)
-    if B % block_b or n % 128:
+    if not block_b or B % block_b or n % 128:
         return _jnp_reference(AtA, y, U, delta, Atb, deg, hyp, clips)
     to_t = lambda x: jnp.transpose(x, (1, 0, 2))
     Udeg = U * deg[..., None]

@@ -68,9 +68,22 @@ def sample_connected_er(rng: np.random.Generator, batch: int, P: int, prob: floa
     return out
 
 
+_SAMPLER_LOGGED = False
+
+
 def fast_sample_connected_er(seed: int, batch: int, P: int, prob: float) -> np.ndarray:
-    """Connected-ER batch via the native C++ builder when available, else numpy."""
-    if native_graphs.available():
+    """Connected-ER batch via the native C++ builder when available, else numpy.
+
+    Reproducibility note: the two backends use different PRNGs (SplitMix64 vs numpy
+    PCG64), so the same seed yields different — equally valid — topologies depending
+    on whether `native/libgraph_builder.so` is built. The active backend is logged
+    once so runs are attributable."""
+    global _SAMPLER_LOGGED
+    use_native = native_graphs.available()
+    if not _SAMPLER_LOGGED:
+        _SAMPLER_LOGGED = True
+        print(f"[graphs] topology sampler backend: {'native C++' if use_native else 'numpy'}")
+    if use_native:
         return native_graphs.sample_connected_er(seed, batch, P, prob)
     return sample_connected_er(np.random.default_rng(seed), batch, P, prob)
 

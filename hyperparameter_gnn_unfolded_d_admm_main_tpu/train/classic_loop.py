@@ -34,15 +34,27 @@ def graph_cache_path(cfg: Config) -> str:
 
 
 def load_or_create_graph(cfg: Config) -> classic.ColorSchedule:
-    """Cached single topology shared by every classic run (`dlasso.py:25-35`)."""
+    """Cached single topology shared by every classic run (`dlasso.py:25-35`).
+
+    The color partition is cached WITH the adjacency (as in the reference, which saves
+    neighbors + color_partition together): the coloring depends on RNG state that
+    differs between create and load paths, and the Gauss-Seidel sweep order must be
+    identical across train/eval/rerun for a learned table to be meaningful."""
     path = graph_cache_path(cfg)
     rng = np.random.default_rng(int(cfg.seed))
     if os.path.exists(path):
-        adj = np.load(path)["adj"]
-    else:
-        adj = graphs.sample_connected_er(rng, 1, cfg.P, cfg.graph_prob)[0]
-        np.savez(path, adj=adj)
-    return classic.make_color_schedule(adj, rng)
+        data = np.load(path)
+        adj = data["adj"]
+        masks = data["masks"]
+        return classic.ColorSchedule(
+            masks=jnp.asarray(masks),
+            adj=jnp.asarray(adj),
+            deg=jnp.asarray(adj.sum(-1).astype(np.float32)),
+        )
+    adj = graphs.sample_connected_er(rng, 1, cfg.P, cfg.graph_prob)[0]
+    sched = classic.make_color_schedule(adj, rng)
+    np.savez(path, adj=adj, masks=np.asarray(sched.masks))
+    return sched
 
 
 def train_classic_dlasso(cfg: Config, out_dir: str) -> Dict:
@@ -129,9 +141,14 @@ def train_classic_dlasso(cfg: Config, out_dir: str) -> Dict:
 
 def eval_classic_dlasso(cfg: Config, hyp_table: jnp.ndarray, out_dir: str) -> np.ndarray:
     """Inference: per-iteration loss curve (`dlasso.py:41-50`, `utils.py:84-111` — the
-    reference evaluates the first batch only; reproduced)."""
-    key = jax.random.key(int(cfg.seed) + 1)
-    k_A, k_te = jax.random.split(key)
+    reference evaluates the first batch only; reproduced).
+
+    The sensing matrix is regenerated with the SAME seed derivation as training
+    (the reference always loads one fixed `GaussianData.mat`); only the test data key
+    is fresh."""
+    key = jax.random.key(int(cfg.seed))
+    k_A, _, _ = jax.random.split(key, 3)
+    k_te = jax.random.key(int(cfg.seed) + 1)
     A_global = classic_data.global_sensing_matrix(k_A)
     b_te, y_te = classic_data.make_classic_lasso_dataset(k_te, A_global, cfg.test_size, cfg.snr)
     sched = load_or_create_graph(cfg)
