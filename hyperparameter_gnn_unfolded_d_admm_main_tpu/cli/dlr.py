@@ -21,6 +21,22 @@ def main(argv=None):
     cfg = args_parser(argv)
     select_device(cfg.device)
     out_dir = timestamped_dir(cfg.save_dir, "dlr_classic")
+
+    if cfg.eval:
+        import os
+
+        import numpy as np
+
+        table_path = os.path.join(
+            cfg.save_dir,
+            f"params_P={cfg.P}_batch={cfg.max_iter}_prob={cfg.graph_prob}_size={cfg.max_iter}.npy",
+        )
+        table = np.load(table_path)
+        loss_curve, acc_curve = classic_loop.eval_classic_dlr(cfg, table, out_dir)
+        print(f"per-iteration curves saved to {out_dir}; "
+              f"final loss {loss_curve[-1]:.6f}, final acc {acc_curve[-1]:.2f}%")
+        return {"loss_curve": loss_curve, "acc_curve": acc_curve}
+
     res = classic_loop.train_classic_dlr(cfg, out_dir)
     print(f"\nAll results saved to '{out_dir}'")
     print(f"best valid loss: {res['best_valid_loss']:.6f}")

@@ -74,6 +74,8 @@ class UnfoldedDLASSO:
             clamp_fn=dadmm_core.unfolded_clamps,
             nan_guard=self.cfg.nan_guard,
             remat=self.cfg.remat,
+            use_pallas=self.cfg.use_pallas,
+            matmul_dtype=self.cfg.matmul_dtype if self.cfg.matmul_dtype != "float32" else None,
         )
         return Y, table[K - 1]
 
@@ -106,5 +108,6 @@ class UnfoldedDLASSO:
             clamp_fn=dadmm_core.unfolded_clamps,
             nan_guard=self.cfg.nan_guard,
             remat=self.cfg.remat,
+            matmul_dtype=self.cfg.matmul_dtype if self.cfg.matmul_dtype != "float32" else None,
         )
         return per_kp, table[K - 1]

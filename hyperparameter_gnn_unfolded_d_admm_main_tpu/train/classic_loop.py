@@ -162,6 +162,28 @@ def eval_classic_dlasso(cfg: Config, hyp_table: jnp.ndarray, out_dir: str) -> np
     return curve
 
 
+def eval_classic_dlr(cfg: Config, hyp_table: jnp.ndarray, out_dir: str):
+    """Inference for the dlr case: per-iteration loss + rounding-accuracy curves
+    (`dlr.py:44-57` semantics; first batch only like `utils.py:84-111`)."""
+    key = jax.random.key(int(cfg.seed))
+    k_data, _ = jax.random.split(key)
+    d = 28 * 28
+    x_te, l_te = classic_data.make_lr_dataset(jax.random.key(int(cfg.seed) + 1), cfg.P,
+                                              cfg.test_size, d)
+    sched = load_or_create_graph(cfg)
+    solver = classic.DADMMLRClassic(cfg.P, d)
+    x = jnp.swapaxes(x_te[: cfg.batch_size], 0, 1)
+    labels = jnp.swapaxes(l_te[: cfg.batch_size], 0, 1)
+    out = solver.run(jnp.asarray(hyp_table), x, labels, sched, collect_metrics=True)
+    loss_curve = np.asarray(out["loss_per_iter"])
+    acc_curve = np.asarray(out["acc_per_iter"])
+    np.save(os.path.join(out_dir, f"params_P={cfg.P}_prob={cfg.graph_prob}"
+                                  f"_iteration_{cfg.max_iter}_{cfg.method}.npy"), loss_curve)
+    np.save(os.path.join(out_dir, f"acc_P={cfg.P}_prob={cfg.graph_prob}"
+                                  f"_iteration_{cfg.max_iter}_{cfg.method}.npy"), acc_curve)
+    return loss_curve, acc_curve
+
+
 def train_classic_dlr(cfg: Config, out_dir: str) -> Dict:
     log = IOStream(os.path.join(out_dir, "run.log"))
     key = jax.random.key(int(cfg.seed))

@@ -70,3 +70,9 @@ def test_classic_dlr_cli_smoke(tmp_path, monkeypatch):
     res = classic_loop.train_classic_dlr(cfg, str(tmp_path / "out"))
     assert np.isfinite(res["best_valid_loss"])
     assert res["hyp_table"].shape == (4, 1, 6)
+    # eval path: per-iteration loss + accuracy curves from the learned table
+    loss_curve, acc_curve = classic_loop.eval_classic_dlr(
+        cfg, np.asarray(res["hyp_table"]), str(tmp_path / "out")
+    )
+    assert loss_curve.shape == (4,) and acc_curve.shape == (4,)
+    assert np.isfinite(loss_curve).all()
