@@ -105,6 +105,17 @@ def _reset_if_nonfinite(x: jax.Array, fallback: jax.Array, finite_fn=default_fin
 ConsensusFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
+def _scan_iterations(body, state, hyp_table: jax.Array, remat: bool):
+    """Shared K-scan plumbing: optional remat on the body, scanned over
+    `(k, hyp_table[k])`, returning the stacked per-iteration outputs."""
+    if remat:
+        body = jax.checkpoint(body)
+    K = hyp_table.shape[0]
+    ks = jnp.arange(K, dtype=jnp.float32)
+    _, outs = jax.lax.scan(body, state, (ks, hyp_table))
+    return outs
+
+
 def dadmm_step(
     state: SolverState,
     AtAy: jax.Array,
@@ -210,33 +221,24 @@ def unroll_table(
             nxt = SolverState(y=y_next, U=U_next, delta=delta_next)
             return nxt, nxt.y
 
-        if remat:
-            body = jax.checkpoint(body)
-        K = hyp_table.shape[0]
-        ks = jnp.arange(K, dtype=jnp.float32)
-        _, Y_t = jax.lax.scan(body, state, (ks, hyp_table))
+        Y_t = _scan_iterations(body, state, hyp_table, remat)
         return jnp.transpose(Y_t, (0, 2, 1, 3))    # [K,P,B,n] -> [K,B,P,n]
-    else:
-        def body(carry, xs):
-            st, k = carry, xs[0]
-            hyp_k = xs[1]  # [Pp, 4]
-            alpha = hyp_k[None, :, 0:1]
-            tau = hyp_k[None, :, 1:2]
-            rho = hyp_k[None, :, 2:3]
-            eta = hyp_k[None, :, 3:4]
-            AtAy = gram_matvec(AtA, st.y, matmul_dtype)
-            nxt = dadmm_step(
-                st, AtAy, Atb, deg, alpha, tau, rho, eta,
-                clamp_fn(k), adj, consensus_fn, nan_guard,
-            )
-            return nxt, nxt.y
 
-    if remat:
-        body = jax.checkpoint(body)
-    K = hyp_table.shape[0]
-    ks = jnp.arange(K, dtype=jnp.float32)
-    _, Y = jax.lax.scan(body, state, (ks, hyp_table))
-    return Y
+    def body(carry, xs):
+        st, k = carry, xs[0]
+        hyp_k = xs[1]  # [Pp, 4]
+        alpha = hyp_k[None, :, 0:1]
+        tau = hyp_k[None, :, 1:2]
+        rho = hyp_k[None, :, 2:3]
+        eta = hyp_k[None, :, 3:4]
+        AtAy = gram_matvec(AtA, st.y, matmul_dtype)
+        nxt = dadmm_step(
+            st, AtAy, Atb, deg, alpha, tau, rho, eta,
+            clamp_fn(k), adj, consensus_fn, nan_guard,
+        )
+        return nxt, nxt.y
+
+    return _scan_iterations(body, state, hyp_table, remat)
 
 
 def unroll_table_losses(
@@ -278,9 +280,4 @@ def unroll_table_losses(
         per_p = jnp.mean(diff * diff, axis=(0, 2))   # [P]
         return nxt, per_p
 
-    if remat:
-        body = jax.checkpoint(body)
-    K = hyp_table.shape[0]
-    ks = jnp.arange(K, dtype=jnp.float32)
-    _, per_kp = jax.lax.scan(body, state, (ks, hyp_table))
-    return per_kp
+    return _scan_iterations(body, state, hyp_table, remat)
