@@ -97,6 +97,8 @@ class Config:
     mesh_agents: int = 1               # agent-parallel mesh axis size
     min_iterations: int = 1            # progressive schedule floor (reference
                                        # gnn_dlasso_progressive.py:73)
+    profile: bool = False              # capture a jax.profiler trace of the first
+                                       # post-compile training epoch into <run>/trace
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

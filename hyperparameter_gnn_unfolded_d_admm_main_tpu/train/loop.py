@@ -118,7 +118,10 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
 
     final_nmse = float("nan")
     for epoch in range(start_epoch, cfg.num_epochs):
-        opt_state.hyperparams["learning_rate"] = plateau.lr
+        if cfg.profile and epoch == start_epoch + 1:
+            # first post-compile epoch: steady-state kernels, no compile noise
+            jax.profiler.start_trace(os.path.join(out_dir, "trace"))
+        opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr)
         tr_loss, nb = 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
             key, kstep = jax.random.split(key)
@@ -140,6 +143,9 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         va_loss /= max(nb, 1)
         final_nmse = va_nmse / max(nb, 1)
 
+        if cfg.profile and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
+            log.cprint(f"profiler trace written to {os.path.join(out_dir, 'trace')}")
         plateau.step(va_loss)
         csv.append(epoch=epoch + 1, train_loss=tr_loss, valid_loss=va_loss)
         log.cprint(
@@ -279,7 +285,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
             epoch, cfg.num_epochs, cfg.min_iterations, max_iterations
         )
         lr_factor = schedule.lr_factor_for_iterations(K, epoch, cfg.num_epochs, max_iterations)
-        opt_state.hyperparams["learning_rate"] = plateau.lr * lr_factor
+        opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr * lr_factor)
 
         tr_mean, tr_final, nb = 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):

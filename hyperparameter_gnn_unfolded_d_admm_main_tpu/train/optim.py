@@ -51,6 +51,12 @@ def make_optimizer(
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Rewrite the injected learning rate in-place (returns the updated state)."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Rewrite the injected learning rate in-place (returns the updated state).
+
+    The value is stored as a typed jnp scalar: a raw Python float changes the leaf's
+    abstract type (weak-typed scalar vs f32[]) and forces a jit-cache miss — i.e. a
+    full recompile of the train step every time the scheduler moves the LR."""
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.float32(lr)
     return opt_state
