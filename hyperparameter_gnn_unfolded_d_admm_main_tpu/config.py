@@ -99,6 +99,10 @@ class Config:
                                        # gnn_dlasso_progressive.py:73)
     profile: bool = False              # capture a jax.profiler trace of the first
                                        # post-compile training epoch into <run>/trace
+    encoder_type: str = "gcn"          # hypernetwork encoder: {'gcn', 'mpnn',
+                                       # 'attention'} — gcn is the reference's live
+                                       # design; mpnn/attention cover its archived
+                                       # design space (old code/gnn_dlasso_models4.py)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

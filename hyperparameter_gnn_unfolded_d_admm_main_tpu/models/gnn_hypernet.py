@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops import gcn, graphs as graph_ops, sensing
+from ..ops import gcn, graphs as graph_ops, mpnn, sensing
 from . import dadmm_core
 
 
@@ -33,20 +33,37 @@ _ENC_MULT = [1, 2, 4, 4, 4]
 _DROPOUT = 0.1
 
 
-def _init_encoder(key: jax.Array, in_dim: int, hidden: int, dtype) -> Tuple[dict, dict]:
+def _init_encoder(key: jax.Array, in_dim: int, hidden: int, dtype,
+                  encoder_type: str = "gcn") -> Tuple[dict, dict]:
     dims = [in_dim] + [m * hidden for m in _ENC_MULT]
-    keys = jax.random.split(key, len(_ENC_MULT))
-    convs, bn_params, bn_state = [], [], []
-    for i in range(len(_ENC_MULT)):
-        w = gcn.xavier_uniform(keys[i], dims[i], dims[i + 1], dtype=dtype)
-        b = jnp.zeros((dims[i + 1],), dtype)
-        convs.append({"w": w, "b": b})
-        p, s = gcn.batch_norm_init(dims[i + 1], dtype)
-        bn_params.append(p)
-        bn_state.append(s)
+    keys = jax.random.split(key, len(_ENC_MULT) + 1)
     ln = {"scale": jnp.ones((dims[-1],), dtype), "bias": jnp.zeros((dims[-1],), dtype)}
-    params = {"convs": convs, "bn": bn_params, "ln": ln}
-    return params, {"bn": bn_state}
+    if encoder_type == "gcn":
+        convs, bn_params, bn_state = [], [], []
+        for i in range(len(_ENC_MULT)):
+            w = gcn.xavier_uniform(keys[i], dims[i], dims[i + 1], dtype=dtype)
+            b = jnp.zeros((dims[i + 1],), dtype)
+            convs.append({"w": w, "b": b})
+            p, s = gcn.batch_norm_init(dims[i + 1], dtype)
+            bn_params.append(p)
+            bn_state.append(s)
+        return {"convs": convs, "bn": bn_params, "ln": ln}, {"bn": bn_state}
+    if encoder_type == "mpnn":
+        layers, bn_params, bn_state = [], [], []
+        for i in range(len(_ENC_MULT)):
+            layers.append(mpnn.mpnn_init(keys[i], dims[i], dims[i + 1], dtype))
+            p, s = gcn.batch_norm_init(dims[i + 1], dtype)
+            bn_params.append(p)
+            bn_state.append(s)
+        return {"mpnn": layers, "bn": bn_params, "ln": ln}, {"bn": bn_state}
+    if encoder_type == "attention":
+        lift = {
+            "w": gcn.xavier_uniform(keys[0], in_dim, dims[-1], dtype=dtype),
+            "b": jnp.zeros((dims[-1],), dtype),
+        }
+        attn = [mpnn.attention_init(keys[i + 1], dims[-1]) for i in range(3)]
+        return {"lift": lift, "attn": attn, "ln": ln}, {"bn": []}
+    raise ValueError(f"unknown encoder_type {encoder_type!r}")
 
 
 def _apply_encoder(
@@ -55,21 +72,38 @@ def _apply_encoder(
     key: jax.Array,
     x: jax.Array,
     norm_adj: jax.Array,
+    adj: jax.Array,
     training: bool,
 ) -> Tuple[jax.Array, dict]:
-    """x [B,P,2n] -> flattened [B, P*4h] (reference `:37-72`)."""
-    new_bn = []
-    keys = jax.random.split(key, len(params["convs"]))
-    for i, (conv, bnp, bns) in enumerate(zip(params["convs"], params["bn"], state["bn"])):
-        x = gcn.leaky_relu(gcn.gcn_layer(norm_adj, x, conv["w"], conv["b"]))
-        x, s = gcn.batch_norm(x, bnp, bns, training)
-        new_bn.append(s)
-        if i < len(params["convs"]) - 1:
-            x = gcn.dropout(keys[i], x, _DROPOUT, training)
-    # Final layer: BatchNorm then LayerNorm, no dropout (reference `:68-70`).
-    x = gcn.layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    """x [B,P,2n] -> flattened [B, P*4h] (reference `:37-72` for the gcn stack)."""
     B = x.shape[0]
-    return x.reshape(B, -1), {"bn": new_bn}
+    if "convs" in params:
+        new_bn = []
+        keys = jax.random.split(key, len(params["convs"]))
+        for i, (conv, bnp, bns) in enumerate(zip(params["convs"], params["bn"], state["bn"])):
+            x = gcn.leaky_relu(gcn.gcn_layer(norm_adj, x, conv["w"], conv["b"]))
+            x, s = gcn.batch_norm(x, bnp, bns, training)
+            new_bn.append(s)
+            if i < len(params["convs"]) - 1:
+                x = gcn.dropout(keys[i], x, _DROPOUT, training)
+        # Final layer: BatchNorm then LayerNorm, no dropout (reference `:68-70`).
+        x = gcn.layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+        return x.reshape(B, -1), {"bn": new_bn}
+    if "mpnn" in params:
+        new_bn = []
+        keys = jax.random.split(key, len(params["mpnn"]))
+        for i, (lyr, bnp, bns) in enumerate(zip(params["mpnn"], params["bn"], state["bn"])):
+            x = mpnn.mpnn_layer(lyr, keys[i], x, adj, training, _DROPOUT)
+            x, s = gcn.batch_norm(x, bnp, bns, training)
+            new_bn.append(s)
+        x = gcn.layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+        return x.reshape(B, -1), {"bn": new_bn}
+    # attention encoder
+    x = gcn.leaky_relu(x @ params["lift"]["w"] + params["lift"]["b"])
+    for lyr in params["attn"]:
+        x = mpnn.graph_attention_layer(lyr, x, adj)
+    x = gcn.layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    return x.reshape(B, -1), state
 
 
 def _init_decoder(key: jax.Array, P: int, hidden: int, out_dim: int, dtype) -> dict:
@@ -129,16 +163,20 @@ class DLASSOGNNHyp(object):
 
     def init(self, key: jax.Array) -> Tuple[dict, dict]:
         k_enc, k_dec = jax.random.split(key)
-        enc, enc_state = _init_encoder(k_enc, 2 * self.n, self.hidden, self.A.dtype)
+        enc, enc_state = _init_encoder(
+            k_enc, 2 * self.n, self.hidden, self.A.dtype, self.cfg.encoder_type
+        )
         dec = _init_decoder(k_dec, self.P, self.hidden, self.out_dim, self.A.dtype)
         return {"encoder": enc, "decoder": dec}, enc_state
 
-    def _hyper(self, params, state, key, AtAy, Atb, norm_adj, training):
+    def _hyper(self, params, state, key, AtAy, Atb, norm_adj, adj, training):
         """One hypernetwork evaluation -> ((alpha,tau,rho,eta) each [B,Pp,1], state)."""
         B = AtAy.shape[0]
         feats = jnp.concatenate([AtAy, Atb], axis=-1)  # [B,P,2n] (reference `:165`)
         k_enc, k_dec = jax.random.split(key)
-        h, new_state = _apply_encoder(params["encoder"], state, k_enc, feats, norm_adj, training)
+        h, new_state = _apply_encoder(
+            params["encoder"], state, k_enc, feats, norm_adj, adj, training
+        )
         out = _apply_decoder(params["decoder"], k_dec, h, training)
         hyp = jnp.clip(jax.nn.sigmoid(out), 1e-4, 0.9999)  # (reference `:169-172`)
         Pp = 1 if self.mode == "same" else self.P
@@ -180,7 +218,7 @@ class DLASSOGNNHyp(object):
             kk = jax.random.fold_in(k_scan, k)
             AtAy = dadmm_core.gram_matvec(self.AtA, st.y)
             (alpha, tau, rho, eta), bn_state = self._hyper(
-                params, bn_state, kk, AtAy, Atb, norm_adj, training
+                params, bn_state, kk, AtAy, Atb, norm_adj, adj, training
             )
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,
@@ -223,7 +261,7 @@ class DLASSOGNNHyp(object):
             kk = jax.random.fold_in(k_scan, k)
             AtAy = dadmm_core.gram_matvec(self.AtA, st.y)
             (alpha, tau, rho, eta), bn_state = self._hyper(
-                params, bn_state, kk, AtAy, Atb, norm_adj, training
+                params, bn_state, kk, AtAy, Atb, norm_adj, adj, training
             )
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,

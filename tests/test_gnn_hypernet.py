@@ -2,6 +2,7 @@
 progressive-K behavior, batchnorm state threading."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,6 +111,27 @@ def test_apply_losses_matches_full_Y(rng):
     g1 = jax.grad(slow)(params)["decoder"]["fc"]["w"]
     g2 = jax.grad(fast)(params)["decoder"]["fc"]["w"]
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("enc", ["mpnn", "attention"])
+def test_alternative_encoders(rng, enc):
+    """MPNN and attention encoders (archived design space of the reference,
+    old code/gnn_dlasso_models4.py) train end-to-end."""
+    cfg, model, params, state, b, y, adj = _setup(rng)
+    cfg2 = cfg.replace(encoder_type=enc)
+    model2 = DLASSOGNNHyp(sensing.set_A(jax.random.key(0), 4, 10, 12), cfg2)
+    params2, state2 = model2.init(jax.random.key(1))
+    out = model2.apply(params2, state2, jax.random.key(3), b, adj)
+    assert out.Y.shape == (4, 3, 4, 12)
+    assert np.isfinite(np.asarray(out.Y)).all()
+
+    def loss_fn(p):
+        o = model2.apply(p, state2, jax.random.key(3), b, adj, training=True)
+        return losses.compute_loss(o.Y, y)[1]
+
+    g = jax.grad(loss_fn)(params2)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert total > 0
 
 
 def test_fc_bias_conservative_init(rng):
