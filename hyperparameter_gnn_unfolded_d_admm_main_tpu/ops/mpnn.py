@@ -17,7 +17,6 @@ Parameters are plain pytrees; init helpers mirror `ops/gcn.py` conventions.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
