@@ -45,6 +45,15 @@ def auto_mesh(n_devices: Optional[int] = None, P_agents: int = 8, devices=None) 
     return make_mesh(data=n // agents, agents=agents, devices=devices)
 
 
+def agent_ring_mesh(agents: int, devices=None) -> Mesh:
+    """Strictly 1-D ('agents',) mesh — required by the Pallas RDMA ring kernel, whose
+    remote-DMA lowering rejects multi-axis meshes even when extra axes have size 1."""
+    devices = jax.devices() if devices is None else devices
+    if len(devices) < agents:
+        raise ValueError(f"need {agents} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:agents]), (AGENT_AXIS,))
+
+
 def batch_spec() -> P:
     """[B, P, ...] arrays: batch over data, agents over agents."""
     return P(DATA_AXIS, AGENT_AXIS)
