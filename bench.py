@@ -83,6 +83,32 @@ def bench_tpu():
         except Exception as e:  # noqa: BLE001 - extras must never kill the bench
             print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
 
+    # Reference-shape config (small agent count, like the paper benchmarks): P=8.
+    if time.monotonic() < deadline:
+        try:
+            P8 = 8
+            A8 = jax.random.normal(jax.random.key(7), (P8, M, N), jnp.float32) / np.sqrt(M)
+            AtA8 = sensing.gram(A8)
+            b8 = jax.random.normal(jax.random.key(8), (B, P8, M), jnp.float32)
+            Atb8 = sensing.At_apply(A8, b8)
+            adj8 = jnp.asarray(graphs.fast_sample_connected_er(1, B, P8, GRAPH_PROB))
+            st8 = dadmm_core.init_state(jax.random.key(9), B, P8, N)
+            tb8 = seq_hyperparam.hyp_table(
+                0.05 * jnp.ones((K, P8, 4), jnp.float32), jnp.asarray([0.1, 0.99, 0.99, 0.99])
+            )
+            un8 = jax.jit(lambda s, t: dadmm_core.unroll_table(
+                s, t, AtA8, Atb8, adj8, remat=False, nan_guard=False))
+            Y = un8(st8, tb8)
+            jax.block_until_ready(Y)
+            t0 = time.perf_counter()
+            for _ in range(REPEATS):
+                Y = un8(st8, tb8)
+            jax.block_until_ready(Y)
+            dt = time.perf_counter() - t0
+            variants["ref_shape_P8_noguard"] = (REPEATS * K / dt, dt / REPEATS)
+        except Exception as e:  # noqa: BLE001
+            print(f"variant ref_shape_P8 failed: {e}", file=sys.stderr, flush=True)
+
     # Full-unroll fused kernel: whole K-loop resident in VMEM (kernels/full_unroll.py).
     if time.monotonic() < deadline:
         try:
@@ -171,7 +197,10 @@ def main():
         base_ips, base_step = bench_torch_reference_style()
     except Exception:  # noqa: BLE001 - fall back to the recorded round-1 measurement
         base_ips = 0.0522
-    best_name, (best_ips, best_step) = max(variants.items(), key=lambda kv: kv[1][0])
+    # Headline over the P=64 scaled config only (ref_shape_* rows are a different,
+    # easier workload — informational).
+    headline = {k: v for k, v in variants.items() if not k.startswith("ref_shape")}
+    best_name, (best_ips, best_step) = max(headline.items(), key=lambda kv: kv[1][0])
     print(json.dumps({
         "metric": "dadmm_iter_per_sec_per_chip",
         "value": round(best_ips, 2),
