@@ -60,6 +60,25 @@ def test_classic_dlasso_cli_smoke(tmp_path, monkeypatch):
     assert np.isfinite(curve).all()
 
 
+def test_evaluate_cli_unfolded_run(tmp_path, monkeypatch):
+    """evaluate.py on an unfolded run dir: reconstructs the fixed training graph and
+    reports a decreasing per-iteration loss curve from the best checkpoint."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
+
+    cfg = Config(P=4, m=8, n=10, GHN_iter_num=4, batch_size=4, train_size=16,
+                 test_size=8, num_epochs=3, lr=1e-2, seed=0)
+    run_dir = str(tmp_path / "r_unfolded_new")
+    import os
+    os.makedirs(run_dir)
+    loop.train_unfolded(cfg, run_dir)
+    res = evaluate.main([run_dir, "--test_size", "8"])
+    assert res["loss_curve"].shape == (4,)
+    assert np.isfinite(res["loss_curve"]).all()
+    assert np.isfinite(res["nmse"])
+    assert os.path.exists(os.path.join(run_dir, "eval_loss_curve_best.npy"))
+
+
 def test_classic_dlr_cli_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import classic_loop
