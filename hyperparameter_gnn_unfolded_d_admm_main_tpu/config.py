@@ -99,6 +99,7 @@ class Config:
                                        # gnn_dlasso_progressive.py:73)
     profile: bool = False              # capture a jax.profiler trace of the first
                                        # post-compile training epoch into <run>/trace
+    tensorboard: bool = False          # also emit TensorBoard scalars (<run>/tb)
     encoder_type: str = "gcn"          # hypernetwork encoder: {'gcn', 'mpnn',
                                        # 'attention'} — gcn is the reference's live
                                        # design; mpnn/attention cover its archived

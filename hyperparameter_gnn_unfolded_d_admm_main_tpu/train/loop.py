@@ -37,7 +37,7 @@ from ..models.unfolded import UnfoldedDLASSO
 from ..ops import data as data_ops
 from ..ops import graphs, sensing
 from ..utils import checkpoint as ckpt
-from ..utils.logging import CSVLogger, IOStream, StepTimer, save_json
+from ..utils.logging import CSVLogger, IOStream, StepTimer, TensorBoardWriter, save_json
 from . import losses, optim, schedule
 
 
@@ -99,6 +99,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
     plateau = schedule.ReduceLROnPlateau(lr=cfg.lr, factor=0.8, patience=3, min_lr=1e-6)
     stopper = schedule.EarlyStopping(patience=70)
     csv = CSVLogger(["epoch", "train_loss", "valid_loss"])
+    tb = TensorBoardWriter(os.path.join(out_dir, "tb"), enabled=cfg.tensorboard)
     rng = np.random.default_rng(int(cfg.seed))
     timer = StepTimer()
     best_params = params
@@ -148,6 +149,8 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
             log.cprint(f"profiler trace written to {os.path.join(out_dir, 'trace')}")
         plateau.step(va_loss)
         csv.append(epoch=epoch + 1, train_loss=tr_loss, valid_loss=va_loss)
+        tb.scalar("train loss", tr_loss, epoch)
+        tb.scalar("validation loss", va_loss, epoch)
         log.cprint(
             f"epoch {epoch + 1}/{cfg.num_epochs} | train {tr_loss:.5f} | "
             f"valid {va_loss:.5f} | nmse {final_nmse:.5f} | lr {plateau.lr:.2e}"
@@ -174,6 +177,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
             break
 
     csv.write(os.path.join(out_dir, "losses.csv"))
+    tb.close()
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
     log.cprint(f"best valid loss: {stopper.best:.6f}")
@@ -260,6 +264,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     stopper = schedule.EarlyStopping(patience=20)
     train_csv = CSVLogger(["mean", "final"])
     valid_csv = CSVLogger(["mean", "final"])
+    tb = TensorBoardWriter(os.path.join(out_dir, "tb"), enabled=cfg.tensorboard)
     rng = np.random.default_rng(int(cfg.seed))
     timer = StepTimer()
     graph_seed = int(cfg.seed) * 1000
@@ -318,6 +323,9 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         va_final /= max(nb, 1)
         final_nmse = va_nmse / max(nb, 1)
         valid_csv.append(mean=va_mean, final=va_final)
+        tb.scalar("train loss", tr_final, epoch)
+        tb.scalar("validation loss", va_final, epoch)
+        tb.scalar("iterations", K, epoch)
 
         plateau.step(va_final)
         log.cprint(
@@ -340,6 +348,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
 
     train_csv.write(os.path.join(out_dir, "train_losses.csv"))
     valid_csv.write(os.path.join(out_dir, "valid_losses.csv"))
+    tb.close()
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
     log.cprint(f"best valid loss: {stopper.best:.6f}")

@@ -68,6 +68,34 @@ def save_json(path: str, obj):
         json.dump(obj, f, indent=2, sort_keys=True, default=str)
 
 
+class TensorBoardWriter:
+    """Optional TensorBoard scalars (reference parity: `utils.py:162` uses
+    tensorboardX). Lazily imports torch's SummaryWriter; degrades to a no-op when
+    unavailable so headless/minimal environments never fail."""
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self._w = None
+        if enabled:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._w = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self._w = None
+
+    @property
+    def active(self) -> bool:
+        return self._w is not None
+
+    def scalar(self, tag: str, value: float, step: int):
+        if self._w is not None:
+            self._w.add_scalar(tag, value, step)
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+
+
 class StepTimer:
     """Per-step wall-clock accounting (new surface; the reference only prints a total,
     `dlasso.py:104-105`). Records steps/sec excluding the first (compile) step."""
