@@ -54,6 +54,22 @@ def test_iostream_tees(tmp_path, capsys):
     assert "hello" in capsys.readouterr().out
 
 
+def test_tensorboard_writer(tmp_path):
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils.logging import TensorBoardWriter
+
+    w = TensorBoardWriter(str(tmp_path / "tb"), enabled=True)
+    w.scalar("loss", 0.5, 1)
+    w.close()
+    if w.active:  # environment has a TB writer
+        files = [f for _, _, fs in os.walk(tmp_path / "tb") for f in fs]
+        assert any("tfevents" in f for f in files)
+    # disabled writer is a clean no-op
+    w2 = TensorBoardWriter(str(tmp_path / "tb2"), enabled=False)
+    assert not w2.active
+    w2.scalar("loss", 1.0, 1)
+    w2.close()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
     ckpt.save(str(tmp_path / "ck"), tree, {"epoch": 3})
