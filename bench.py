@@ -50,7 +50,7 @@ def bench_tpu():
 
     def timed(tag, **kw):
         unroll = jax.jit(
-            lambda st, tb: dadmm_core.unroll_table(st, tb, AtA, Atb, adj, remat=False, **kw)
+            lambda st, tb: dadmm_core.unroll_table(st, tb, AtA, Atb, adj, remat=False, A=A, **kw)
         )
         print(f"compiling {tag}...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
@@ -69,9 +69,15 @@ def bench_tpu():
     # unconditionally and everything else is best-effort under a deadline. The driver
     # must always get its one JSON line.
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "900"))
-    variants = {"xla_fp32_noguard": timed("xla_fp32_noguard", nan_guard=False)}
+    variants = {
+        "xla_fp32_factored_noguard": timed(
+            "xla_fp32_factored_noguard", nan_guard=False, gram_mode="factored"
+        ),
+        "xla_fp32_noguard": timed("xla_fp32_noguard", nan_guard=False),
+    }
     for tag, kw in (
         ("xla_fp32", {}),
+        ("xla_fp32_factored", {"gram_mode": "factored"}),
         ("xla_bf16", {"matmul_dtype": "bfloat16"}),
         ("pallas_fp32", {"use_pallas": True}),
     ):

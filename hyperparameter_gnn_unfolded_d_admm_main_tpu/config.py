@@ -90,6 +90,11 @@ class Config:
     data_noise: bool = False           # reference gnn_data.py:12-14 overwrites the noise
                                        # term, making data noiseless regardless of --snr;
                                        # False reproduces that, True applies real noise
+    gram_mode: str = "gram"            # A^T A y operator: 'gram' = precomputed
+                                       # [P,n,n] stream (reference form, parity
+                                       # default), 'factored' = A^T(A y) (2m/n of
+                                       # the FLOPs + m/n of the HBM weight traffic),
+                                       # 'auto' = factored when 2m < n
     nan_guard: bool = True             # replicate NaN/Inf reset ladders
     remat: bool = True                 # jax.checkpoint the per-iteration scan body
     use_pallas: bool = False           # fused Pallas inner iteration

@@ -83,6 +83,55 @@ def gram_matvec(AtA: jax.Array, y: jax.Array, matmul_dtype=None) -> jax.Array:
     return jnp.einsum("pij,bpj->bpi", AtA, y)
 
 
+def make_gram_fn(
+    AtA: Optional[jax.Array],
+    A: Optional[jax.Array],
+    gram_mode: str = "gram",
+    matmul_dtype=None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Build the `y -> A^T A y` operator used inside every iteration.
+
+    gram_mode:
+      - 'gram':     precomputed Gram stream, `AtA [P,n,n] @ y` — the reference's
+                    form (`unfolded_DLASSO.py:16,69-71`); bit-matches parity tests.
+      - 'factored': `A^T (A y)` with A [P,m,n] — same math up to fp association,
+                    but 2m/n of the FLOPs and m/n of the per-iteration HBM weight
+                    traffic. Wins whenever 2m < n (reference shapes: m=100, n=500).
+      - 'auto':     'factored' when A is available and 2m < n, else 'gram'.
+    """
+    if gram_mode not in ("gram", "factored", "auto"):
+        raise ValueError(f"unknown gram_mode {gram_mode!r}")
+    use_factored = gram_mode == "factored" or (
+        gram_mode == "auto" and A is not None and 2 * A.shape[-2] < A.shape[-1]
+    )
+    if use_factored:
+        if A is None:
+            raise ValueError("gram_mode='factored' requires the sensing matrix A")
+        if matmul_dtype is not None:
+            dt = jnp.dtype(matmul_dtype)
+            A_lo = A.astype(dt)
+
+            def factored_lo(y: jax.Array) -> jax.Array:
+                Ay = jnp.einsum(
+                    "pmn,bpn->bpm", A_lo, y.astype(dt),
+                    preferred_element_type=jnp.float32,
+                )
+                return jnp.einsum(
+                    "pmn,bpm->bpn", A_lo, Ay.astype(dt),
+                    preferred_element_type=jnp.float32,
+                ).astype(y.dtype)
+
+            return factored_lo
+
+        def factored(y: jax.Array) -> jax.Array:
+            return jnp.einsum("pmn,bpm->bpn", A, jnp.einsum("pmn,bpn->bpm", A, y))
+
+        return factored
+    if AtA is None:
+        raise ValueError("gram_mode='gram' requires the precomputed Gram AtA")
+    return lambda y: gram_matvec(AtA, y, matmul_dtype)
+
+
 def default_finite_fn(x: jax.Array) -> jax.Array:
     """Scalar 'is the whole tensor finite'. Sharded callers substitute a collective
     version so the reset decision agrees across shards.
@@ -178,6 +227,8 @@ def unroll_table(
     remat: bool = True,
     use_pallas: bool = False,
     matmul_dtype=None,
+    A: Optional[jax.Array] = None,
+    gram_mode: str = "gram",
 ) -> jax.Array:
     """Scan K iterations driven by a precomputed hyperparameter table.
 
@@ -230,6 +281,8 @@ def unroll_table(
         Y_t = _scan_iterations(body, state, hyp_table, remat)
         return jnp.transpose(Y_t, (0, 2, 1, 3))    # [K,P,B,n] -> [K,B,P,n]
 
+    gram_fn = make_gram_fn(AtA, A, gram_mode, matmul_dtype)
+
     def body(carry, xs):
         st, k = carry, xs[0]
         hyp_k = xs[1]  # [Pp, 4]
@@ -237,7 +290,7 @@ def unroll_table(
         tau = hyp_k[None, :, 1:2]
         rho = hyp_k[None, :, 2:3]
         eta = hyp_k[None, :, 3:4]
-        AtAy = gram_matvec(AtA, st.y, matmul_dtype)
+        AtAy = gram_fn(st.y)
         nxt = dadmm_step(
             st, AtAy, Atb, deg, alpha, tau, rho, eta,
             clamp_fn(k), adj, consensus_fn, nan_guard,
@@ -259,6 +312,8 @@ def unroll_table_losses(
     nan_guard: bool = True,
     remat: bool = True,
     matmul_dtype=None,
+    A: Optional[jax.Array] = None,
+    gram_mode: str = "gram",
 ) -> jax.Array:
     """Like `unroll_table` but emits per-iteration per-agent MSEs `[K, P]` instead of
     the stacked iterates `Y [K, B, P, n]`.
@@ -269,6 +324,7 @@ def unroll_table_losses(
     removes it. label [B, n].
     """
     deg = graph_ops.degrees(adj)
+    gram_fn = make_gram_fn(AtA, A, gram_mode, matmul_dtype)
 
     def body(carry, xs):
         st, k = carry, xs[0]
@@ -277,7 +333,7 @@ def unroll_table_losses(
         tau = hyp_k[None, :, 1:2]
         rho = hyp_k[None, :, 2:3]
         eta = hyp_k[None, :, 3:4]
-        AtAy = gram_matvec(AtA, st.y, matmul_dtype)
+        AtAy = gram_fn(st.y)
         nxt = dadmm_step(
             st, AtAy, Atb, deg, alpha, tau, rho, eta,
             clamp_fn(k), adj, consensus_fn, nan_guard,

@@ -151,6 +151,7 @@ class DLASSOGNNHyp(object):
     def __init__(self, A: jax.Array, cfg: Config):
         self.A = A
         self.AtA = sensing.gram(A)
+        self.gram_fn = dadmm_core.make_gram_fn(self.AtA, A, cfg.gram_mode)
         self.P, self.m, self.n = A.shape
         self.K = cfg.GHN_iter_num
         self.hidden = int(cfg.GHyp_hidden)
@@ -216,7 +217,7 @@ class DLASSOGNNHyp(object):
         def body(carry, k):
             st, bn_state = carry
             kk = jax.random.fold_in(k_scan, k)
-            AtAy = dadmm_core.gram_matvec(self.AtA, st.y)
+            AtAy = self.gram_fn(st.y)
             (alpha, tau, rho, eta), bn_state = self._hyper(
                 params, bn_state, kk, AtAy, Atb, norm_adj, adj, training
             )
@@ -259,7 +260,7 @@ class DLASSOGNNHyp(object):
         def body(carry, k):
             st, bn_state = carry
             kk = jax.random.fold_in(k_scan, k)
-            AtAy = dadmm_core.gram_matvec(self.AtA, st.y)
+            AtAy = self.gram_fn(st.y)
             (alpha, tau, rho, eta), bn_state = self._hyper(
                 params, bn_state, kk, AtAy, Atb, norm_adj, adj, training
             )

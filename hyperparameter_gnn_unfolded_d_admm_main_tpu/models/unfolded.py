@@ -76,6 +76,8 @@ class UnfoldedDLASSO:
             remat=self.cfg.remat,
             use_pallas=self.cfg.use_pallas,
             matmul_dtype=self.cfg.matmul_dtype if self.cfg.matmul_dtype != "float32" else None,
+            A=self.A,
+            gram_mode=self.cfg.gram_mode,
         )
         return Y, table[K - 1]
 
@@ -109,5 +111,7 @@ class UnfoldedDLASSO:
             nan_guard=self.cfg.nan_guard,
             remat=self.cfg.remat,
             matmul_dtype=self.cfg.matmul_dtype if self.cfg.matmul_dtype != "float32" else None,
+            A=self.A,
+            gram_mode=self.cfg.gram_mode,
         )
         return per_kp, table[K - 1]

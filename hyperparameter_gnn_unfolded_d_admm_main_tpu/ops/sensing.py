@@ -37,3 +37,8 @@ def At_apply(A: jax.Array, x: jax.Array) -> jax.Array:
     (`compute_Atx`) with a single einsum so XLA tiles it onto the MXU.
     """
     return jnp.einsum("pmn,bpm->bpn", A, x)
+
+
+def A_apply(A: jax.Array, y: jax.Array) -> jax.Array:
+    """`A_p y_p` batched over agents: A [P,m,n], y [B,P,n] -> [B,P,m]."""
+    return jnp.einsum("pmn,bpn->bpm", A, y)

@@ -203,3 +203,56 @@ def test_nmse_zero_for_perfect():
     label = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5)), jnp.float32)
     Yf = jnp.broadcast_to(label[:, None, :], (2, 3, 5))
     assert float(losses.nmse(Yf, label)) < 1e-10
+
+
+def test_factored_gram_matches_gram(rng):
+    """gram_mode='factored' (A^T(A y)) equals the precomputed-Gram path up to fp
+    association, including grads; 'auto' picks factored only when 2m < n."""
+    B, P, n, K = 2, 4, 16, 5
+    A, AtA, adj, b, Atb = _problem(rng, B=B, P=P, n=n, K=K)
+    state = dadmm_core.init_state(jax.random.key(3), B, P, n)
+    hyp = jnp.asarray(rng.uniform(0.01, 0.3, size=(K, P, 4)).astype(np.float32))
+    args = (state, hyp, jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj))
+    Y_gram = dadmm_core.unroll_table(*args)
+    Y_fact = dadmm_core.unroll_table(*args, A=jnp.asarray(A), gram_mode="factored")
+    np.testing.assert_allclose(np.asarray(Y_fact), np.asarray(Y_gram), rtol=2e-4, atol=2e-4)
+
+    # gradients through the factored operator agree too
+    def loss(table, mode):
+        Y = dadmm_core.unroll_table(
+            state, table, jnp.asarray(AtA), jnp.asarray(Atb), jnp.asarray(adj),
+            A=jnp.asarray(A), gram_mode=mode,
+        )
+        return jnp.mean(Y**2)
+
+    g1 = jax.grad(loss)(hyp, "gram")
+    g2 = jax.grad(loss)(hyp, "factored")
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-5)
+
+    # 'auto' selection: m=12, n=16 -> 2m >= n -> gram; thin problem -> factored
+    fn = dadmm_core.make_gram_fn(jnp.asarray(AtA), jnp.asarray(A), "auto")
+    yv = jnp.asarray(rng.standard_normal((B, P, n)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fn(yv)),
+        np.asarray(dadmm_core.gram_matvec(jnp.asarray(AtA), yv)),
+        rtol=1e-5, atol=1e-5,
+    )
+    A_thin = jnp.asarray(rng.standard_normal((P, 3, n)).astype(np.float32))
+    fn_thin = dadmm_core.make_gram_fn(None, A_thin, "auto")  # no AtA needed when factored
+    want = jnp.einsum("pij,bpj->bpi", jnp.einsum("pmi,pmj->pij", A_thin, A_thin), yv)
+    np.testing.assert_allclose(np.asarray(fn_thin(yv)), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_unfolded_model_factored_config(rng):
+    """UnfoldedDLASSO with cfg.gram_mode='factored' reproduces the default output."""
+    cfg = Config(P=4, m=12, n=16, GHN_iter_num=4, batch_size=2)
+    A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, 2, cfg.P, 0.6))
+    b = jnp.asarray(rng.standard_normal((2, cfg.P, cfg.m)).astype(np.float32))
+    key = jax.random.key(5)
+    m1 = unfolded.UnfoldedDLASSO(A, cfg)
+    m2 = unfolded.UnfoldedDLASSO(A, cfg.replace(gram_mode="factored"))
+    params = m1.init()
+    Y1, _ = m1.apply(params, key, b, adj)
+    Y2, _ = m2.apply(params, key, b, adj)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=2e-4, atol=2e-4)
