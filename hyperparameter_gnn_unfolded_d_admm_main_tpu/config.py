@@ -85,7 +85,9 @@ class Config:
     save_dir: str = "./results"
 
     # --- TPU-native knobs (no reference analogue) ---
-    dtype: str = "float32"             # compute dtype for the solver state
+    dtype: str = "float32"             # solver-state dtype ('bfloat16' halves the
+                                       # per-iteration HBM state traffic; trajectory
+                                       # diverges from f32 — inference/serving knob)
     matmul_dtype: str = "float32"      # dtype fed to the MXU ('bfloat16' to go faster)
     data_noise: bool = False           # reference gnn_data.py:12-14 overwrites the noise
                                        # term, making data noiseless regardless of --snr;

@@ -193,6 +193,9 @@ def dadmm_step(
     conditioning feature without a second Gram matvec.
     """
     y, U, delta = state
+    dt = y.dtype  # keep the scan carry in the caller's solver dtype (bf16 halves
+    #               the per-iteration HBM state traffic; intermediates may promote
+    #               to f32 in registers, which fuses away)
     if nan_guard:
         y = _reset_if_nonfinite(y, jnp.zeros_like(y), finite_fn)
         U = _reset_if_nonfinite(U, jnp.zeros_like(U), finite_fn)
@@ -202,16 +205,17 @@ def dadmm_step(
     if nan_guard:
         grad = _reset_if_nonfinite(grad, jnp.zeros_like(grad), finite_fn)
 
-    y_next = jnp.clip(y - alpha * grad, -clamps.value, clamps.value)
+    y_next = jnp.clip(y - alpha * grad, -clamps.value, clamps.value).astype(dt)
 
     delta_next = consensus_fn(adj, y_next)
     if clamps.delta is not None:
         delta_next = jnp.clip(delta_next, -clamps.delta, clamps.delta)
+    delta_next = delta_next.astype(dt)
 
-    U_next = jnp.clip(U + eta * delta_next, -clamps.dual, clamps.dual)
+    U_next = jnp.clip(U + eta * delta_next, -clamps.dual, clamps.dual).astype(dt)
 
     if nan_guard:
-        y_next = _reset_if_nonfinite(y_next, y, finite_fn)
+        y_next = _reset_if_nonfinite(y_next, y.astype(dt), finite_fn)
     return SolverState(y=y_next, U=U_next, delta=delta_next)
 
 
@@ -229,6 +233,7 @@ def unroll_table(
     matmul_dtype=None,
     A: Optional[jax.Array] = None,
     gram_mode: str = "gram",
+    solver_dtype=None,
 ) -> jax.Array:
     """Scan K iterations driven by a precomputed hyperparameter table.
 
@@ -237,11 +242,22 @@ def unroll_table(
     primal iterates `Y [K, B, P, n]` (reference `unfolded_DLASSO.py:107-110`).
 
     use_pallas routes the primal update through the fused TPU kernel
-    (`kernels/fused_iteration.py`); the consensus + dual steps stay in XLA. The
+    (`kernels/fused_iteration.py`); the consensus + dual steps stay in XLA (and
+    ignores gram_mode/solver_dtype — the kernel owns its own layout). The
     mid-iteration grad NaN-guard collapses into the terminal y guard on that path.
+
+    solver_dtype (e.g. 'bfloat16') stores the scan carry — y/U/delta and Atb — in a
+    narrower dtype, halving the dominant per-iteration HBM state traffic. The
+    trajectory diverges from f32 through the sign() discontinuity (any precision
+    change does); use for throughput-critical inference where solution quality, not
+    trajectory parity, is the bar — and gate on NMSE (see bench.py).
     """
     deg = graph_ops.degrees(adj)
     P = adj.shape[-1]
+    if solver_dtype is not None and not use_pallas:
+        sd = jnp.dtype(solver_dtype)
+        state = SolverState(*(x.astype(sd) for x in state))
+        Atb = Atb.astype(sd)
 
     if use_pallas:
         # Entire unroll runs in [P, B, n] layout (one transpose in, one out) so the
@@ -314,6 +330,7 @@ def unroll_table_losses(
     matmul_dtype=None,
     A: Optional[jax.Array] = None,
     gram_mode: str = "gram",
+    solver_dtype=None,
 ) -> jax.Array:
     """Like `unroll_table` but emits per-iteration per-agent MSEs `[K, P]` instead of
     the stacked iterates `Y [K, B, P, n]`.
@@ -321,10 +338,15 @@ def unroll_table_losses(
     Training only needs the per-layer scalar losses (`train/losses.compute_loss`
     averages them), so materializing Y wastes one full state-sized HBM write+read per
     iteration in the forward and again in the backward; reducing inside the scan
-    removes it. label [B, n].
+    removes it. label [B, n]. Losses are always accumulated in float32 even under a
+    narrow solver_dtype.
     """
     deg = graph_ops.degrees(adj)
     gram_fn = make_gram_fn(AtA, A, gram_mode, matmul_dtype)
+    if solver_dtype is not None:
+        sd = jnp.dtype(solver_dtype)
+        state = SolverState(*(x.astype(sd) for x in state))
+        Atb = Atb.astype(sd)
 
     def body(carry, xs):
         st, k = carry, xs[0]
@@ -338,7 +360,7 @@ def unroll_table_losses(
             st, AtAy, Atb, deg, alpha, tau, rho, eta,
             clamp_fn(k), adj, consensus_fn, nan_guard,
         )
-        diff = nxt.y - label[:, None, :]
+        diff = (nxt.y - label[:, None, :]).astype(jnp.float32)
         per_p = jnp.mean(diff * diff, axis=(0, 2))   # [P]
         return nxt, per_p
 

@@ -78,6 +78,7 @@ class UnfoldedDLASSO:
             matmul_dtype=self.cfg.matmul_dtype if self.cfg.matmul_dtype != "float32" else None,
             A=self.A,
             gram_mode=self.cfg.gram_mode,
+            solver_dtype=self.cfg.dtype if self.cfg.dtype != "float32" else None,
         )
         return Y, table[K - 1]
 
@@ -113,5 +114,6 @@ class UnfoldedDLASSO:
             matmul_dtype=self.cfg.matmul_dtype if self.cfg.matmul_dtype != "float32" else None,
             A=self.A,
             gram_mode=self.cfg.gram_mode,
+            solver_dtype=self.cfg.dtype if self.cfg.dtype != "float32" else None,
         )
         return per_kp, table[K - 1]

@@ -256,3 +256,31 @@ def test_unfolded_model_factored_config(rng):
     Y1, _ = m1.apply(params, key, b, adj)
     Y2, _ = m2.apply(params, key, b, adj)
     np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_solver_state_quality_gate():
+    """The bf16 solver-state serving mode (cfg.dtype='bfloat16') must stay within 1%
+    NMSE of the f32 solver on the committed trained flagship checkpoint. This is the
+    gate behind the bench's xla_bf16_state_factored variant."""
+    import os
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils import checkpoint as ckpt
+
+    base = "results_parity/unfolded_extended"
+    run_dir = os.path.join(base, sorted(os.listdir(base))[0])
+    cfg = Config.from_json(open(os.path.join(run_dir, "args.json")).read())
+    A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
+    key = jax.random.key(int(cfg.seed) + 12345)
+    k_data, k_state = jax.random.split(key)
+    b, y = data_ops.make_dataset(k_data, A, 16, cfg.snr, noise=cfg.data_noise)
+    rng_g = np.random.default_rng(int(cfg.seed))
+    one = graphs.sample_er_adjacency(rng_g, cfg.P, cfg.graph_prob)
+    adj = jnp.broadcast_to(jnp.asarray(one), (16, cfg.P, cfg.P))
+    nmses = {}
+    for dtype in ("float32", "bfloat16"):
+        model = unfolded.UnfoldedDLASSO(A, cfg.replace(dtype=dtype))
+        params = model.init()
+        tree, _ = ckpt.restore_partial(os.path.join(run_dir, "best"), {"params": params})
+        Y, _ = model.apply(tree["params"], k_state, b, adj, training=False)
+        assert Y.dtype == jnp.dtype(dtype)
+        nmses[dtype] = float(losses.nmse(Y[-1].astype(jnp.float32), y))
+    assert nmses["bfloat16"] <= nmses["float32"] * 1.01, nmses

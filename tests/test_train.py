@@ -104,3 +104,20 @@ def test_train_gnn_progressive_end_to_end(tmp_path):
     assert np.isfinite(res["best_valid_loss"])
     assert os.path.exists(tmp_path / "run" / "valid_losses.csv")
     assert res["final_iterations"] >= cfg.min_iterations
+
+
+def test_train_unfolded_golden_trajectory(tmp_path):
+    """Golden convergence-curve regression (SURVEY.md §4 anchor (b)): the seeded tiny
+    unfolded run must reproduce its committed loss trajectory. Catches silent semantic
+    drift in the solver/loss/optimizer stack; tolerance absorbs fusion-order noise."""
+    cfg = _tiny_cfg(num_epochs=3)
+    loop.train_unfolded(cfg, str(tmp_path / "run"))
+    with open(tmp_path / "run" / "losses.csv") as f:
+        rows = f.read().strip().splitlines()[1:]
+    got = np.asarray([[float(x) for x in r.split(",")[1:]] for r in rows])
+    golden = np.asarray([
+        [0.23143915086984634, 0.22202658653259277],
+        [0.22659718245267868, 0.2212391197681427],
+        [0.22366578876972198, 0.21707747876644135],
+    ])
+    np.testing.assert_allclose(got, golden, rtol=5e-3)
