@@ -8,10 +8,12 @@ checkpoint (`best/` by default), regenerates eval data from the run's config + s
 and reports the loss-vs-iteration convergence curve, final loss, and NMSE.
 
     python -m hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.evaluate \
-        results/20260817_..._unfolded_new [--ckpt last] [--device cpu] [--dtype bfloat16]
+        results/20260817_..._unfolded_new [--ckpt last] [--device cpu] [--dtype bfloat16] \
+        [--gram_mode factored] [--mesh_data D --mesh_agents A]
 
 `--dtype bfloat16` serves the solver with a bf16 state (half the HBM state traffic;
-NMSE within 0.1% of f32 on the trained flagship — PARITY.md).
+NMSE within 0.1% of f32 on the trained flagship — PARITY.md). `--mesh_data/--mesh_agents`
+(unfolded family) shard batch serving over a device mesh with collective consensus.
 """
 
 from __future__ import annotations
@@ -42,7 +44,16 @@ def main(argv=None):
     cfg = Config.from_json(json.dumps(cfg_dict))
     if "--dtype" in opts:
         cfg = cfg.replace(dtype=opts["--dtype"])
-    select_device(opts.get("--device", cfg.device))
+    if "--gram_mode" in opts:
+        cfg = cfg.replace(gram_mode=opts["--gram_mode"])
+    if "--mesh_data" in opts or "--mesh_agents" in opts:
+        cfg = cfg.replace(
+            mesh_data=int(opts.get("--mesh_data", cfg.mesh_data)),
+            mesh_agents=int(opts.get("--mesh_agents", cfg.mesh_agents)),
+        )
+    n_mesh = cfg.mesh_data * cfg.mesh_agents
+    select_device(opts.get("--device", cfg.device),
+                  host_device_count=n_mesh if n_mesh > 1 else None)
     test_size = int(opts.get("--test_size", cfg.test_size))
 
     import jax
@@ -82,6 +93,29 @@ def main(argv=None):
         out = model.apply(tree["params"], tree["norm_state"], k_state, b, adj,
                           training=False)
         Y = out.Y
+    elif cfg.mesh_data * cfg.mesh_agents > 1:
+        # Multi-chip batch serving: shard_map the unroll over a (data, agents) mesh
+        # with collective consensus — the sharded analogue of `model.apply`.
+        from ..models import dadmm_core, seq_hyperparam
+        from ..ops import sensing
+        from ..parallel import mesh as mesh_lib, unfolded_sharded
+
+        model = UnfoldedDLASSO(A, cfg)
+        params = model.init()
+        tree, meta = ckpt.restore_partial(ckpt_dir, {"params": params})
+        mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_agents)
+        table = seq_hyperparam.hyp_table(
+            tree["params"]["seq_hyp"], model.max_param, training=False
+        )
+        table = jnp.broadcast_to(table, (table.shape[0], cfg.P, 4))
+        state = dadmm_core.init_state(k_state, test_size, cfg.P, cfg.n, dtype=b.dtype)
+        unroll = unfolded_sharded.make_sharded_unroll(
+            mesh,
+            gram_mode="factored" if cfg.gram_mode in ("factored", "auto") else "gram",
+            solver_dtype=cfg.dtype if cfg.dtype != "float32" else None,
+        )
+        op = A if cfg.gram_mode in ("factored", "auto") else model.AtA
+        Y = unroll(state, table, op, sensing.At_apply(A, b), adj)
     else:
         model = UnfoldedDLASSO(A, cfg)
         params = model.init()

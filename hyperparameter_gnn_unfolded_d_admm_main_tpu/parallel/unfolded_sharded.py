@@ -37,13 +37,21 @@ def make_sharded_unroll(
     clamp_fn: Callable = dadmm_core.unfolded_clamps,
     nan_guard: bool = True,
     remat: bool = True,
+    gram_mode: str = "gram",
+    solver_dtype=None,
 ):
-    """Build a jitted `(state, hyp_table, AtA, Atb, adj) -> Y` over `mesh`.
+    """Build a jitted `(state, hyp_table, op, Atb, adj) -> Y` over `mesh`.
 
     Shapes (global): state [B,P,n] x3, hyp_table [K,P,4] (per-agent table; use a
-    broadcast table for 'same' mode), AtA [P,n,n], Atb [B,P,n], adj [B,P,P].
+    broadcast table for 'same' mode), Atb [B,P,n], adj [B,P,P]. `op` is the matvec
+    operand: the Gram stream `AtA [P,n,n]` when gram_mode='gram', the sensing matrix
+    `A [P,m,n]` when gram_mode='factored' (same agent-sharded spec either way; 'auto'
+    is disallowed here — the operand's identity must be explicit). solver_dtype (e.g.
+    'bfloat16') stores the local scan carry narrow, exactly like the dense path.
     Returns Y [K,B,P,n]. B must divide by the data axis, P by the agent axis.
     """
+    if gram_mode not in ("gram", "factored"):
+        raise ValueError("sharded unroll needs an explicit gram_mode: 'gram' or 'factored'")
     n_agent_shards = mesh.shape[AGENT_AXIS]
     if schedule == "allgather":
         consensus_fn = consensus_lib.consensus_allgather
@@ -58,9 +66,18 @@ def make_sharded_unroll(
         y=P(DATA_AXIS, AGENT_AXIS), U=P(DATA_AXIS, AGENT_AXIS), delta=P(DATA_AXIS, AGENT_AXIS)
     )
 
-    def local_unroll(state, hyp_table, AtA, Atb, adj_rows):
+    def local_unroll(state, hyp_table, op, Atb, adj_rows):
         # Everything here sees LOCAL blocks: y [Bl, Pl, n], adj_rows [Bl, Pl, P].
         deg = jnp.sum(adj_rows, axis=-1)  # full rows present -> true global degrees
+        gram_fn = dadmm_core.make_gram_fn(
+            op if gram_mode == "gram" else None,
+            op if gram_mode == "factored" else None,
+            gram_mode,
+        )
+        if solver_dtype is not None:
+            sd = jnp.dtype(solver_dtype)
+            state = dadmm_core.SolverState(*(x.astype(sd) for x in state))
+            Atb = Atb.astype(sd)
 
         def body(carry, xs):
             st, k = carry, xs[0]
@@ -69,7 +86,7 @@ def make_sharded_unroll(
             tau = hyp_k[None, :, 1:2]
             rho = hyp_k[None, :, 2:3]
             eta = hyp_k[None, :, 3:4]
-            AtAy = dadmm_core.gram_matvec(AtA, st.y)
+            AtAy = gram_fn(st.y)
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,
                 clamp_fn(k), adj_rows,
@@ -92,7 +109,7 @@ def make_sharded_unroll(
         in_specs=(
             state_spec,
             P(None, AGENT_AXIS),        # hyp_table [K, P, 4]
-            P(AGENT_AXIS),              # AtA [P, n, n]
+            P(AGENT_AXIS),              # op: AtA [P, n, n] or A [P, m, n]
             P(DATA_AXIS, AGENT_AXIS),   # Atb
             P(DATA_AXIS, AGENT_AXIS, None),  # adj rows: last dim replicated
         ),

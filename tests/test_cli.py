@@ -95,3 +95,27 @@ def test_classic_dlr_cli_smoke(tmp_path, monkeypatch):
     )
     assert loss_curve.shape == (4,) and acc_curve.shape == (4,)
     assert np.isfinite(loss_curve).all()
+
+
+def test_evaluate_cli_sharded_serving(tmp_path):
+    """evaluate.py --mesh_data/--mesh_agents: multi-chip batch serving through the
+    shard_map unroll reproduces the dense single-device evaluation."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
+    import os
+
+    cfg = Config(P=4, m=8, n=10, GHN_iter_num=4, batch_size=4, train_size=16,
+                 test_size=8, num_epochs=2, lr=1e-2, seed=0)
+    run_dir = str(tmp_path / "r_unfolded_new")
+    os.makedirs(run_dir)
+    loop.train_unfolded(cfg, run_dir)
+    dense = evaluate.main([run_dir, "--test_size", "8"])
+    sharded = evaluate.main([run_dir, "--test_size", "8",
+                             "--mesh_data", "2", "--mesh_agents", "4"])
+    np.testing.assert_allclose(sharded["loss_curve"], dense["loss_curve"],
+                               rtol=2e-4, atol=2e-4)
+    # factored + bf16 serving stays finite and close on this tiny problem
+    bf = evaluate.main([run_dir, "--test_size", "8", "--mesh_data", "2",
+                        "--mesh_agents", "4", "--gram_mode", "factored",
+                        "--dtype", "bfloat16"])
+    assert np.isfinite(bf["loss_curve"]).all()

@@ -121,3 +121,38 @@ def test_gspmd_train_step_runs_and_matches_unsharded(rng):
     diffs = jax.tree_util.tree_map(lambda a, b_: float(jnp.abs(a - b_).sum()), p2, params)
     moved = sum(jax.tree_util.tree_leaves(diffs))
     assert moved > 0
+
+
+def test_sharded_unroll_factored_and_bf16(rng):
+    """Sharded serving variants: factored operand matches the Gram operand; bf16
+    solver state stays a valid (close) trajectory on this tiny well-conditioned
+    problem and returns bf16."""
+    mesh = _mesh()
+    B, Pn, m, n, K = 4, 8, 6, 16, 3
+    A = sensing.set_A(jax.random.key(0), Pn, m, n)
+    AtA = sensing.gram(A)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, Pn, 0.5))
+    b = jnp.asarray(rng.standard_normal((B, Pn, m)).astype(np.float32))
+    Atb = sensing.At_apply(A, b)
+    state = dadmm_core.init_state(jax.random.key(1), B, Pn, n)
+    table = seq_hyperparam.hyp_table(
+        jnp.asarray(rng.standard_normal((K, Pn, 4)).astype(np.float32)),
+        jnp.asarray([0.1, 0.99, 0.99, 0.99]),
+    )
+    dense = dadmm_core.unroll_table(state, table, AtA, Atb, adj)
+
+    unroll_f = unfolded_sharded.make_sharded_unroll(mesh, gram_mode="factored")
+    got = unroll_f(state, table, A, Atb, adj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense), rtol=2e-4, atol=2e-4)
+
+    unroll_bf = unfolded_sharded.make_sharded_unroll(
+        mesh, gram_mode="gram", solver_dtype="bfloat16"
+    )
+    got16 = unroll_bf(state, table, AtA, Atb, adj)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got16, dtype=np.float32), np.asarray(dense), rtol=0.1, atol=0.1
+    )
+
+    with pytest.raises(ValueError):
+        unfolded_sharded.make_sharded_unroll(mesh, gram_mode="auto")
