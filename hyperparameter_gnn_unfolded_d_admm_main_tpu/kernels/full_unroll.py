@@ -241,3 +241,180 @@ def unfolded_clip_table(K: int) -> jnp.ndarray:
     v = jnp.maximum(10.0, 200.0 - 3.0 * ks)
     huge = jnp.full((K,), 3.4e38, jnp.float32)
     return jnp.stack([g, v, huge, v], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Factored resident-operand variant: A^T(A y) with A ENTIRELY VMEM-RESIDENT.
+#
+# The Gram-streaming kernel above is HBM-bound on the AtA stream (P * n*n f32 per
+# iteration PER BATCH TILE — at P=64 that re-stream is why it loses to XLA). In the
+# factored form the operand is A [P, m, n] with m << n: at the reference shapes
+# (P<=8, m=100, n=512) A + A^T together are ~3 MB, so they fit VMEM *alongside* the
+# full solver state for a 64-scenario tile. Per-iteration HBM traffic collapses to
+# the y-snapshot stream out — everything else stays on-chip for all K iterations.
+#
+# Measured status (v5e, P=8 B=256 n=512 K=15): exact on hardware (K=1 gate 0.0 rel
+# err), 9.8k iter/s vs XLA factored 11.0k. Phase ablation on-chip: removing the 16
+# MXU dots per iteration changes nothing (matvec fully overlapped), removing the
+# consensus loop changes nothing, removing the per-iteration Y DMA buys ~8%. The
+# iteration is VPU-ELEMENTWISE-BOUND — the clamp/sign/FMA chain over [P,Bt,n] is the
+# floor, and XLA's fused per-iteration graph already sits at it. Kept because it
+# pins the roofline (proves XLA is at speed-of-light here, not leaving 10x on the
+# table) and as the template for shapes where residency does pay.
+# ---------------------------------------------------------------------------
+
+
+def _make_factored_kernel(K: int, P: int, mp: int, n: int, block_b: int):
+    def kernel(hyp_ref, clip_ref, A_ref, At_ref, y0_hbm, U0_hbm, d0_hbm, Atb_hbm,
+               adjQ_ref, Y_hbm, y_sc, U_sc, d_sc, atay_sc, Atb_sc, out_sem):
+        j = pl.program_id(0)
+        tile = pl.ds(j * block_b, block_b)
+        for src, dst in ((y0_hbm, y_sc), (U0_hbm, U_sc), (d0_hbm, d_sc), (Atb_hbm, Atb_sc)):
+            cp = pltpu.make_async_copy(src.at[:, tile], dst, out_sem)
+            cp.start()
+            cp.wait()
+        Atb = Atb_sc[:]
+        deg_bq = jnp.sum(adjQ_ref[:], axis=0)          # [Bt, P]
+        deg = jnp.transpose(deg_bq)[..., None]         # [P, Bt, 1]
+
+        for k in range(K):
+            # ---- primal: per-agent factored matvec, operands resident in VMEM.
+            for p in range(P):                          # static unroll (small P)
+                Ay = jnp.dot(y_sc[p], At_ref[p], preferred_element_type=jnp.float32)
+                atay_sc[p] = jnp.dot(Ay, A_ref[p], preferred_element_type=jnp.float32)
+
+            hyp_k = hyp_ref[k]
+            alpha = hyp_k[:, 0][:, None, None]
+            tau = hyp_k[:, 1][:, None, None]
+            rho = hyp_k[:, 2][:, None, None]
+            eta = hyp_k[:, 3][:, None, None]
+            gclip = clip_ref[k, 0]
+            vclip = clip_ref[k, 1]
+            dclip = clip_ref[k, 2]
+            uclip = clip_ref[k, 3]
+
+            y = y_sc[:]
+            grad = atay_sc[:] - Atb + jnp.sign(y) * tau + U_sc[:] * deg + d_sc[:] * rho
+            grad = jnp.clip(grad, -gclip, gclip)
+            y = jnp.clip(y - alpha * grad, -vclip, vclip)
+            y_sc[:] = y
+
+            # ---- consensus: broadcast FMAs over source agents (leading-dim reads).
+            def cons(q, acc):
+                w = jnp.transpose(adjQ_ref[q])          # [Bt, P] -> [P, Bt]
+                return acc + w[..., None] * y_sc[q][None, :, :]
+
+            neigh = jax.lax.fori_loop(0, P, cons, jnp.zeros_like(y))
+            delta = 2.0 * (deg * y - neigh)
+            delta = jnp.clip(delta, -dclip, dclip)
+            d_sc[:] = delta
+            U_sc[:] = jnp.clip(U_sc[:] + eta * delta, -uclip, uclip)
+
+            out_dma = pltpu.make_async_copy(y_sc, Y_hbm.at[k, :, tile], out_sem)
+            out_dma.start()
+            out_dma.wait()
+
+    return kernel
+
+
+def _pick_block_b_factored(B: int, P: int, mp: int, n: int) -> int:
+    """Largest batch tile such that A + A^T + state buffers (5 scratches + the
+    consensus accumulator + elementwise temps -> budget 7 tile-sized buffers) +
+    adjQ fit VMEM."""
+    budget = 12 * 1024 * 1024 - 2 * P * mp * n * 4
+    for cand in (128, 64, 32, 16, 8):
+        if B % cand == 0 and (7 * cand * P * n + cand * P * P) * 4 <= budget:
+            return cand
+    return 0
+
+
+def _jnp_unroll_factored(A, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
+    """Factored restatement (fallback + VJP recompute): AtAy = A^T (A y)."""
+    def body(carry, xs):
+        y, U, d = carry
+        hyp_k, clips = xs
+        alpha = hyp_k[None, :, 0:1]
+        tau = hyp_k[None, :, 1:2]
+        rho = hyp_k[None, :, 2:3]
+        eta = hyp_k[None, :, 3:4]
+        AtAy = jnp.einsum("pmn,bpm->bpn", A, jnp.einsum("pmn,bpn->bpm", A, y))
+        grad = AtAy - Atb + jnp.sign(y) * tau + U * deg[..., None] + d * rho
+        grad = jnp.clip(grad, -clips[0], clips[0])
+        y = jnp.clip(y - alpha * grad, -clips[1], clips[1])
+        neigh = jnp.einsum("bpq,bqn->bpn", adj, y)
+        d = 2.0 * (deg[..., None] * y - neigh)
+        d = jnp.clip(d, -clips[2], clips[2])
+        U = jnp.clip(U + eta * d, -clips[3], clips[3])
+        return (y, U, d), y
+
+    _, Y = jax.lax.scan(body, (y0, U0, d0), (hyp_table, clip_table))
+    return Y
+
+
+@jax.custom_vjp
+def fused_unroll_factored(A, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
+    """Full-K fused unroll, factored operand resident in VMEM. Shapes: A [P,m,n];
+    y0/U0/d0/Atb [B,P,n]; deg [B,P]; adj [B,P,P]; hyp_table [K,P,4];
+    clip_table [K,4]. Returns Y [K,B,P,n]. Falls back to the jnp scan when the
+    resident working set does not fit VMEM (large P) or shapes are unaligned."""
+    B, P, n = y0.shape
+    K = hyp_table.shape[0]
+    m = A.shape[1]
+    mp = -(-m // 128) * 128                          # pad m: zero rows keep A^T A exact
+    block_b = _pick_block_b_factored(B, P, mp, n)
+    if not block_b or n % 128 or P % 8:
+        return _jnp_unroll_factored(A, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table)
+
+    A_pad = jnp.pad(A, ((0, 0), (0, mp - m), (0, 0)))   # [P, mp, n]
+    At_pad = jnp.transpose(A_pad, (0, 2, 1))            # [P, n, mp]
+    t = lambda x: jnp.transpose(x, (1, 0, 2))           # [B,P,n] -> [P,B,n]
+    adjQ = jnp.transpose(adj, (2, 0, 1))                # [P(q), B, P(p)]
+    kernel = _make_factored_kernel(K, P, mp, n, block_b)
+    grid = (B // block_b,)
+    Y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, P, B, n), y0.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # hyp_table [K,P,4]
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # clip_table [K,4]
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # A_pad resident
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # At_pad resident
+                pl.BlockSpec(memory_space=pl.ANY),       # y0 [P,B,n] (DMA'd to scratch)
+                pl.BlockSpec(memory_space=pl.ANY),       # U0
+                pl.BlockSpec(memory_space=pl.ANY),       # d0
+                pl.BlockSpec(memory_space=pl.ANY),       # Atb
+                pl.BlockSpec((P, block_b, P), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # Y [K,P,B,n] via DMA
+            scratch_shapes=[
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # y
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # U
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # delta
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # AtAy
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # Atb
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * B * P * n * (2 * mp + P),
+            bytes_accessed=4 * K * B * P * n,
+            transcendentals=0,
+        ),
+    )(hyp_table, clip_table, A_pad, At_pad, t(y0), t(U0), t(d0), t(Atb), adjQ)
+    return jnp.transpose(Y, (0, 2, 1, 3))              # [K,P,B,n] -> [K,B,P,n]
+
+
+def _factored_fwd(*args):
+    return fused_unroll_factored(*args), args
+
+
+def _factored_bwd(res, g):
+    _, vjp = jax.vjp(_jnp_unroll_factored, *res)
+    return vjp(g)
+
+
+fused_unroll_factored.defvjp(_factored_fwd, _factored_bwd)
