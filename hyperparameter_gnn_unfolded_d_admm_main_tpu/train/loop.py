@@ -37,6 +37,7 @@ from ..models.unfolded import UnfoldedDLASSO
 from ..ops import data as data_ops
 from ..ops import graphs, sensing
 from ..utils import checkpoint as ckpt
+from ..utils import plots
 from ..utils.logging import CSVLogger, IOStream, StepTimer, TensorBoardWriter, save_json
 from . import losses, optim, schedule
 
@@ -177,6 +178,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
             break
 
     csv.write(os.path.join(out_dir, "losses.csv"))
+    plots.plot_losses(out_dir, csv.column("train_loss"), csv.column("valid_loss"))
     tb.close()
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
@@ -285,10 +287,12 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
 
     final_nmse = float("nan")
     K = cfg.min_iterations
+    iters_hist = []
     for epoch in range(start_epoch, cfg.num_epochs):
         K = schedule.get_iterations_for_epoch(
             epoch, cfg.num_epochs, cfg.min_iterations, max_iterations
         )
+        iters_hist.append(K)
         lr_factor = schedule.lr_factor_for_iterations(K, epoch, cfg.num_epochs, max_iterations)
         opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr * lr_factor)
 
@@ -348,6 +352,10 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
 
     train_csv.write(os.path.join(out_dir, "train_losses.csv"))
     valid_csv.write(os.path.join(out_dir, "valid_losses.csv"))
+    plots.plot_training_summary(
+        out_dir, train_csv.column("final"), valid_csv.column("final"), iters_hist
+    )
+    plots.plot_iteration_progression(out_dir, iters_hist)
     tb.close()
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)

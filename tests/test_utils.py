@@ -80,3 +80,26 @@ def test_checkpoint_roundtrip(tmp_path):
     # partial restore
     part, _ = ckpt.restore_partial(str(tmp_path / "ck"), {"b": {"c": jnp.zeros((2, 3))}})
     np.testing.assert_allclose(np.asarray(part["b"]["c"]), 1.0)
+
+
+def test_training_runs_emit_pngs(tmp_path):
+    """Reference drivers save per-run PNGs (losses.png, training_summary.png,
+    iteration_progression.png); both loops must too (when matplotlib is present)."""
+    import os
+    import jax
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
+
+    try:
+        import matplotlib  # noqa: F401
+    except Exception:
+        import pytest
+        pytest.skip("matplotlib unavailable")
+
+    cfg = Config(P=4, m=8, n=10, GHyp_hidden=4, GHN_iter_num=3, batch_size=4,
+                 train_size=8, test_size=4, num_epochs=2, lr=1e-2, seed=0)
+    loop.train_unfolded(cfg, str(tmp_path / "u"))
+    assert os.path.exists(tmp_path / "u" / "losses.png")
+    loop.train_gnn_progressive(cfg, str(tmp_path / "g"))
+    assert os.path.exists(tmp_path / "g" / "training_summary.png")
+    assert os.path.exists(tmp_path / "g" / "iteration_progression.png")
