@@ -306,6 +306,13 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
                     params, norm_state, opt_state, kstep, (b, y, adj), K
                 )
                 jax.block_until_ready(lf)   # see train_unfolded: device, not dispatch
+            if nb % 10 == 0 and hyp is not None:  # sharded step skips the hyp aux
+                # Reference prints the emitted hyperparameters every 10 batches
+                # (`gnn_dlasso_progressive.py:217-224`) — the live view of what the
+                # hypernetwork is producing.
+                a_, t_, r_, e_ = (float(jnp.mean(h)) for h in hyp)
+                log.cprint(f"  batch {nb} | alpha {a_:.4f} | tau {t_:.4f} | "
+                           f"rho {r_:.4f} | eta {e_:.4f}")
             tr_mean += float(lm)
             tr_final += float(lf)
             nb += 1
