@@ -12,7 +12,7 @@ and reports the loss-vs-iteration convergence curve, final loss, and NMSE.
         [--gram_mode factored] [--mesh_data D --mesh_agents A]
 
 `--dtype bfloat16` serves the solver with a bf16 state (half the HBM state traffic;
-NMSE within 0.1% of f32 on the trained flagship — PARITY.md). `--mesh_data/--mesh_agents`
+NMSE within a 0.5% gate of f32 on the trained flagship, 0.08% measured — PARITY.md). `--mesh_data/--mesh_agents`
 (unfolded family) shard batch serving over a device mesh with collective consensus.
 """
 
@@ -100,6 +100,12 @@ def main(argv=None):
         from ..ops import sensing
         from ..parallel import mesh as mesh_lib, unfolded_sharded
 
+        if test_size % cfg.mesh_data or cfg.P % cfg.mesh_agents:
+            raise SystemExit(
+                f"sharded serving needs test_size ({test_size}) divisible by "
+                f"mesh_data ({cfg.mesh_data}) and P ({cfg.P}) divisible by "
+                f"mesh_agents ({cfg.mesh_agents})"
+            )
         model = UnfoldedDLASSO(A, cfg)
         params = model.init()
         tree, meta = ckpt.restore_partial(ckpt_dir, {"params": params})
@@ -109,12 +115,19 @@ def main(argv=None):
         )
         table = jnp.broadcast_to(table, (table.shape[0], cfg.P, 4))
         state = dadmm_core.init_state(k_state, test_size, cfg.P, cfg.n, dtype=b.dtype)
+        # 'auto' resolves by make_gram_fn's rule (factored profitable iff 2m < n)
+        # so dense and sharded serving of the same checkpoint pick the same operator.
+        factored = cfg.gram_mode == "factored" or (
+            cfg.gram_mode == "auto" and 2 * cfg.m < cfg.n
+        )
         unroll = unfolded_sharded.make_sharded_unroll(
             mesh,
-            gram_mode="factored" if cfg.gram_mode in ("factored", "auto") else "gram",
+            gram_mode="factored" if factored else "gram",
+            nan_guard=cfg.nan_guard,
+            remat=cfg.remat,
             solver_dtype=cfg.dtype if cfg.dtype != "float32" else None,
         )
-        op = A if cfg.gram_mode in ("factored", "auto") else model.AtA
+        op = A if factored else model.AtA
         Y = unroll(state, table, op, sensing.At_apply(A, b), adj)
     else:
         model = UnfoldedDLASSO(A, cfg)

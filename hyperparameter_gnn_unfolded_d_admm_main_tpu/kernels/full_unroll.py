@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops import sensing
+
 
 def _make_kernel(K: int, P: int, n: int, block_b: int):
     def kernel(hyp_ref, clip_ref, AtA_hbm, y0_hbm, U0_hbm, d0_hbm, Atb_hbm,
@@ -143,8 +145,9 @@ def _pick_block_b(B: int, P: int, n: int) -> int:
     return 0  # sentinel: nothing fits/divides -> caller takes the jnp fallback
 
 
-def _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
-    """Reference jnp restatement in [B,P,n] layout (fallback + VJP)."""
+def _jnp_unroll_with_matvec(matvec, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
+    """Shared jnp restatement in [B,P,n] layout (fallback + VJP recompute for both
+    kernels); the Gram-vs-factored difference is entirely in `matvec`."""
     def body(carry, xs):
         y, U, d = carry
         hyp_k, clips = xs
@@ -152,7 +155,7 @@ def _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
         tau = hyp_k[None, :, 1:2]
         rho = hyp_k[None, :, 2:3]
         eta = hyp_k[None, :, 3:4]
-        AtAy = jnp.einsum("pij,bpj->bpi", AtA, y)
+        AtAy = matvec(y)
         grad = AtAy - Atb + jnp.sign(y) * tau + U * deg[..., None] + d * rho
         grad = jnp.clip(grad, -clips[0], clips[0])
         y = jnp.clip(y - alpha * grad, -clips[1], clips[1])
@@ -164,6 +167,14 @@ def _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
 
     _, Y = jax.lax.scan(body, (y0, U0, d0), (hyp_table, clip_table))
     return Y
+
+
+def _jnp_unroll(AtA, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
+    """Gram-operand restatement (fallback + VJP)."""
+    return _jnp_unroll_with_matvec(
+        lambda y: jnp.einsum("pij,bpj->bpi", AtA, y),
+        y0, U0, d0, Atb, deg, adj, hyp_table, clip_table,
+    )
 
 
 @jax.custom_vjp
@@ -330,25 +341,10 @@ def _pick_block_b_factored(B: int, P: int, mp: int, n: int) -> int:
 
 def _jnp_unroll_factored(A, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
     """Factored restatement (fallback + VJP recompute): AtAy = A^T (A y)."""
-    def body(carry, xs):
-        y, U, d = carry
-        hyp_k, clips = xs
-        alpha = hyp_k[None, :, 0:1]
-        tau = hyp_k[None, :, 1:2]
-        rho = hyp_k[None, :, 2:3]
-        eta = hyp_k[None, :, 3:4]
-        AtAy = jnp.einsum("pmn,bpm->bpn", A, jnp.einsum("pmn,bpn->bpm", A, y))
-        grad = AtAy - Atb + jnp.sign(y) * tau + U * deg[..., None] + d * rho
-        grad = jnp.clip(grad, -clips[0], clips[0])
-        y = jnp.clip(y - alpha * grad, -clips[1], clips[1])
-        neigh = jnp.einsum("bpq,bqn->bpn", adj, y)
-        d = 2.0 * (deg[..., None] * y - neigh)
-        d = jnp.clip(d, -clips[2], clips[2])
-        U = jnp.clip(U + eta * d, -clips[3], clips[3])
-        return (y, U, d), y
-
-    _, Y = jax.lax.scan(body, (y0, U0, d0), (hyp_table, clip_table))
-    return Y
+    return _jnp_unroll_with_matvec(
+        lambda y: sensing.At_apply(A, sensing.A_apply(A, y)),
+        y0, U0, d0, Atb, deg, adj, hyp_table, clip_table,
+    )
 
 
 @jax.custom_vjp

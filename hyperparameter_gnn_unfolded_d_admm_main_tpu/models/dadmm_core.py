@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import graphs as graph_ops
+from ..ops import sensing
 
 
 class SolverState(NamedTuple):
@@ -123,10 +124,7 @@ def make_gram_fn(
 
             return factored_lo
 
-        def factored(y: jax.Array) -> jax.Array:
-            return jnp.einsum("pmn,bpm->bpn", A, jnp.einsum("pmn,bpn->bpm", A, y))
-
-        return factored
+        return lambda y: sensing.At_apply(A, sensing.A_apply(A, y))
     if AtA is None:
         raise ValueError("gram_mode='gram' requires the precomputed Gram AtA")
     return lambda y: gram_matvec(AtA, y, matmul_dtype)
@@ -155,6 +153,16 @@ def _reset_if_nonfinite(x: jax.Array, fallback: jax.Array, finite_fn=default_fin
     """
     ok = finite_fn(x)
     return jnp.where(ok, x, fallback)
+
+
+def cast_solver_dtype(state: SolverState, Atb: jax.Array, solver_dtype):
+    """Cast the scan carry (and Atb, which is read every iteration) to the serving
+    dtype; no-op when solver_dtype is None. Single definition for the dense,
+    loss-reducing, and sharded unrolls."""
+    if solver_dtype is None:
+        return state, Atb
+    sd = jnp.dtype(solver_dtype)
+    return SolverState(*(x.astype(sd) for x in state)), Atb.astype(sd)
 
 
 ConsensusFn = Callable[[jax.Array, jax.Array], jax.Array]
@@ -254,10 +262,8 @@ def unroll_table(
     """
     deg = graph_ops.degrees(adj)
     P = adj.shape[-1]
-    if solver_dtype is not None and not use_pallas:
-        sd = jnp.dtype(solver_dtype)
-        state = SolverState(*(x.astype(sd) for x in state))
-        Atb = Atb.astype(sd)
+    if not use_pallas:
+        state, Atb = cast_solver_dtype(state, Atb, solver_dtype)
 
     if use_pallas:
         # Entire unroll runs in [P, B, n] layout (one transpose in, one out) so the
@@ -343,10 +349,7 @@ def unroll_table_losses(
     """
     deg = graph_ops.degrees(adj)
     gram_fn = make_gram_fn(AtA, A, gram_mode, matmul_dtype)
-    if solver_dtype is not None:
-        sd = jnp.dtype(solver_dtype)
-        state = SolverState(*(x.astype(sd) for x in state))
-        Atb = Atb.astype(sd)
+    state, Atb = cast_solver_dtype(state, Atb, solver_dtype)
 
     def body(carry, xs):
         st, k = carry, xs[0]

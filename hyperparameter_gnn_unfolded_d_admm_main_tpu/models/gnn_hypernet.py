@@ -152,6 +152,7 @@ class DLASSOGNNHyp(object):
         self.A = A
         self.AtA = sensing.gram(A)
         self.gram_fn = dadmm_core.make_gram_fn(self.AtA, A, cfg.gram_mode)
+        self.solver_dtype = cfg.dtype if cfg.dtype != "float32" else None
         self.P, self.m, self.n = A.shape
         self.K = cfg.GHN_iter_num
         self.hidden = int(cfg.GHyp_hidden)
@@ -212,6 +213,7 @@ class DLASSOGNNHyp(object):
         norm_adj = graph_ops.gcn_norm_adj(adj)
         k_init, k_scan = jax.random.split(key)
         st0 = dadmm_core.init_state(k_init, B, self.P, self.n, dtype=b.dtype)
+        st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
         nan_guard = self.cfg.nan_guard
 
         def body(carry, k):
@@ -255,6 +257,7 @@ class DLASSOGNNHyp(object):
         norm_adj = graph_ops.gcn_norm_adj(adj)
         k_init, k_scan = jax.random.split(key)
         st0 = dadmm_core.init_state(k_init, B, self.P, self.n, dtype=b.dtype)
+        st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
         nan_guard = self.cfg.nan_guard
 
         def body(carry, k):

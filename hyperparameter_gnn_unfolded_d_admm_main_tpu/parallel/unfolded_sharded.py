@@ -74,10 +74,7 @@ def make_sharded_unroll(
             op if gram_mode == "factored" else None,
             gram_mode,
         )
-        if solver_dtype is not None:
-            sd = jnp.dtype(solver_dtype)
-            state = dadmm_core.SolverState(*(x.astype(sd) for x in state))
-            Atb = Atb.astype(sd)
+        state, Atb = dadmm_core.cast_solver_dtype(state, Atb, solver_dtype)
 
         def body(carry, xs):
             st, k = carry, xs[0]

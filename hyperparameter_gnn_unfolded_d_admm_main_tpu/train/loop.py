@@ -178,7 +178,8 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
             break
 
     csv.write(os.path.join(out_dir, "losses.csv"))
-    plots.plot_losses(out_dir, csv.column("train_loss"), csv.column("valid_loss"))
+    plots.plot_losses(out_dir, csv.column("train_loss"), csv.column("valid_loss"),
+                      epochs=csv.column("epoch"))
     tb.close()
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
@@ -360,9 +361,10 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     train_csv.write(os.path.join(out_dir, "train_losses.csv"))
     valid_csv.write(os.path.join(out_dir, "valid_losses.csv"))
     plots.plot_training_summary(
-        out_dir, train_csv.column("final"), valid_csv.column("final"), iters_hist
+        out_dir, train_csv.column("final"), valid_csv.column("final"), iters_hist,
+        epoch_offset=start_epoch,
     )
-    plots.plot_iteration_progression(out_dir, iters_hist)
+    plots.plot_iteration_progression(out_dir, iters_hist, epoch_offset=start_epoch)
     tb.close()
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)

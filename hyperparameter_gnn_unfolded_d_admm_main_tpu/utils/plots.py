@@ -2,39 +2,51 @@
 
 Reference parity: `unfolded_train_new.py:163-173` saves `losses.png`;
 `gnn_dlasso_progressive.py:334-362` saves `training_summary.png` and
-`iteration_progression.png` next to the CSVs. All functions degrade to a no-op when
-matplotlib is unavailable (headless/minimal environments must never fail a run over
-a plot).
+`iteration_progression.png` next to the CSVs. Every entry point swallows ALL plotting
+exceptions (import, backend, savefig I/O) — a run must never fail, and never skip its
+remaining artifacts, over a plot.
 """
 
 from __future__ import annotations
 
+import functools
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 def _plt():
-    try:
-        import matplotlib
+    import matplotlib
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
 
-        return plt
-    except Exception:  # noqa: BLE001 - plotting is strictly best-effort
-        return None
+    return plt
 
 
+def _best_effort(fn):
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception:  # noqa: BLE001 - plotting is strictly best-effort
+            return None
+
+    return wrapped
+
+
+@_best_effort
 def plot_losses(out_dir: str, train: Sequence[float], valid: Sequence[float],
+                epochs: Optional[Sequence[int]] = None,
                 fname: str = "losses.png") -> Optional[str]:
-    """Train/valid loss curves (reference `unfolded_train_new.py:163-173`)."""
-    plt = _plt()
-    if plt is None or not train:
+    """Train/valid loss curves (reference `unfolded_train_new.py:163-173`).
+    `epochs` carries the true epoch labels on resumed runs."""
+    if not train:
         return None
-    epochs = range(1, len(train) + 1)
+    plt = _plt()
+    xs = list(epochs) if epochs is not None else list(range(1, len(train) + 1))
     plt.figure(figsize=(8, 5))
-    plt.plot(epochs, train, label="train loss", linewidth=2)
-    plt.plot(epochs, valid, label="validation loss", linewidth=2)
+    plt.plot(xs, train, label="train loss", linewidth=2)
+    plt.plot(xs, valid, label="validation loss", linewidth=2)
     plt.xlabel("epoch")
     plt.ylabel("loss")
     plt.legend()
@@ -46,24 +58,27 @@ def plot_losses(out_dir: str, train: Sequence[float], valid: Sequence[float],
     return path
 
 
+@_best_effort
 def plot_training_summary(out_dir: str, train_final: Sequence[float],
                           valid_final: Sequence[float], iterations: Sequence[int],
+                          epoch_offset: int = 0,
                           fname: str = "training_summary.png") -> Optional[str]:
     """Two-panel summary: loss curves + the progressive K per epoch (reference
-    `gnn_dlasso_progressive.py:334-353`)."""
-    plt = _plt()
-    if plt is None or not train_final:
+    `gnn_dlasso_progressive.py:334-353`). `epoch_offset` keeps the epoch axis honest
+    when the run resumed mid-schedule."""
+    if not train_final:
         return None
-    epochs = range(1, len(train_final) + 1)
+    plt = _plt()
+    xs = range(epoch_offset + 1, epoch_offset + len(train_final) + 1)
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 5))
-    ax1.plot(epochs, train_final, label="train (final layer)", linewidth=2)
-    ax1.plot(epochs, valid_final, label="validation (final layer)", linewidth=2)
+    ax1.plot(xs, train_final, label="train (final layer)", linewidth=2)
+    ax1.plot(xs, valid_final, label="validation (final layer)", linewidth=2)
     ax1.set_xlabel("epoch")
     ax1.set_ylabel("loss")
     ax1.legend()
     ax1.grid(True, alpha=0.3)
     ax1.set_title("Training progress")
-    ax2.step(epochs, list(iterations)[: len(train_final)], where="post", linewidth=2)
+    ax2.step(xs, list(iterations)[: len(train_final)], where="post", linewidth=2)
     ax2.set_xlabel("epoch")
     ax2.set_ylabel("unfolded iterations K")
     ax2.grid(True, alpha=0.3)
@@ -75,14 +90,17 @@ def plot_training_summary(out_dir: str, train_final: Sequence[float],
     return path
 
 
+@_best_effort
 def plot_iteration_progression(out_dir: str, iterations: Sequence[int],
+                               epoch_offset: int = 0,
                                fname: str = "iteration_progression.png") -> Optional[str]:
     """K-vs-epoch curve (reference `gnn_dlasso_progressive.py:355-362`)."""
-    plt = _plt()
-    if plt is None or not iterations:
+    if not iterations:
         return None
+    plt = _plt()
+    xs = range(epoch_offset + 1, epoch_offset + len(iterations) + 1)
     plt.figure(figsize=(8, 5))
-    plt.step(range(1, len(iterations) + 1), iterations, where="post", linewidth=2)
+    plt.step(xs, iterations, where="post", linewidth=2)
     plt.xlabel("epoch")
     plt.ylabel("unfolded iterations K")
     plt.grid(True, alpha=0.3)

@@ -259,8 +259,8 @@ def test_unfolded_model_factored_config(rng):
 
 
 def test_bf16_solver_state_quality_gate():
-    """The bf16 solver-state serving mode (cfg.dtype='bfloat16') must stay within 1%
-    NMSE of the f32 solver on the committed trained flagship checkpoint. This is the
+    """The bf16 solver-state serving mode (cfg.dtype='bfloat16') must stay within 0.5%
+    NMSE of the f32 solver (0.08% measured) on the committed trained flagship checkpoint. This is the
     gate behind the bench's xla_bf16_state_factored variant."""
     import os
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils import checkpoint as ckpt
@@ -283,4 +283,4 @@ def test_bf16_solver_state_quality_gate():
         Y, _ = model.apply(tree["params"], k_state, b, adj, training=False)
         assert Y.dtype == jnp.dtype(dtype)
         nmses[dtype] = float(losses.nmse(Y[-1].astype(jnp.float32), y))
-    assert nmses["bfloat16"] <= nmses["float32"] * 1.01, nmses
+    assert nmses["bfloat16"] <= nmses["float32"] * 1.005, nmses

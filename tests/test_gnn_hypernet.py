@@ -140,3 +140,27 @@ def test_fc_bias_conservative_init(rng):
     fcb = np.asarray(params["decoder"]["fc"]["b"])
     np.testing.assert_allclose(fcb[:4], [-0.5, -1.0, -0.8, -1.2])
     assert np.all(fcb[4:] == 0)
+
+
+def test_gnn_bf16_solver_state(rng):
+    """cfg.dtype='bfloat16' is honored by the GNN model too: Y comes back bf16 and
+    stays finite/close to the f32 run on a tiny problem (same params, same keys)."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import DLASSOGNNHyp
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+
+    cfg = Config(P=4, m=8, n=10, GHyp_hidden=4, GHN_iter_num=3, batch_size=2)
+    A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, 2, cfg.P, 0.6))
+    b = jnp.asarray(rng.standard_normal((2, cfg.P, cfg.m)).astype(np.float32))
+    m32 = DLASSOGNNHyp(A, cfg)
+    m16 = DLASSOGNNHyp(A, cfg.replace(dtype="bfloat16"))
+    params, norm_state = m32.init(jax.random.key(1))
+    key = jax.random.key(2)
+    Y32 = m32.apply(params, norm_state, key, b, adj, training=False).Y
+    Y16 = m16.apply(params, norm_state, key, b, adj, training=False).Y
+    assert Y16.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(Y16, dtype=np.float32)).all()
+    np.testing.assert_allclose(
+        np.asarray(Y16, dtype=np.float32), np.asarray(Y32), rtol=0.15, atol=0.15
+    )
