@@ -21,7 +21,7 @@ def main(argv=None):
     cfg = args_parser(argv)
     select_device(cfg.device)
     out_dir = timestamped_dir(cfg.save_dir, "progressive")
-    res = train_gnn_progressive(cfg, out_dir)
+    res = train_gnn_progressive(cfg, out_dir, resume=cfg.resume or None)
     print(f"\nAll results saved to '{out_dir}'")
     print(f"best valid loss: {res['best_valid_loss']:.6f} | "
           f"final NMSE: {res['final_nmse']:.6f} | final K: {res['final_iterations']} | "

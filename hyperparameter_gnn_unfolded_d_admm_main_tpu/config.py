@@ -83,6 +83,10 @@ class Config:
     hyp_mode: str = "unfolded"         # {'GHyp', 'unfolded'}
     GHN_iter_num: int = 15             # K, unfolded iterations
     save_dir: str = "./results"
+    resume: str = ""                   # checkpoint dir (a run's best/ or last/) to
+                                       # resume training from — restores model,
+                                       # optimizer, scheduler and early-stop state
+                                       # (no reference analogue: it only saves)
 
     # --- TPU-native knobs (no reference analogue) ---
     dtype: str = "float32"             # solver-state dtype ('bfloat16' halves the

@@ -119,3 +119,27 @@ def test_evaluate_cli_sharded_serving(tmp_path):
                         "--mesh_agents", "4", "--gram_mode", "factored",
                         "--dtype", "bfloat16"])
     assert np.isfinite(bf["loss_curve"]).all()
+
+
+def test_unfolded_cli_resume_flag(tmp_path):
+    """--resume continues a run from its last/ checkpoint through the CLI."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import unfolded_train_new
+    import os
+
+    r1 = unfolded_train_new.main([
+        "--P", "4", "--m", "8", "--n", "10", "--GHN_iter_num", "3",
+        "--batch_size", "4", "--train_size", "8", "--test_size", "4",
+        "--num_epochs", "2", "--lr", "1e-2",
+        "--save_dir", str(tmp_path / "a"),
+    ])
+    r2 = unfolded_train_new.main([
+        "--P", "4", "--m", "8", "--n", "10", "--GHN_iter_num", "3",
+        "--batch_size", "4", "--train_size", "8", "--test_size", "4",
+        "--num_epochs", "4", "--lr", "1e-2",
+        "--save_dir", str(tmp_path / "b"),
+        "--resume", os.path.join(r1["out_dir"], "last"),
+    ])
+    assert np.isfinite(r2["best_valid_loss"])
+    with open(os.path.join(r2["out_dir"], "losses.csv")) as f:
+        rows = f.read().strip().splitlines()
+    assert rows[1].startswith("3,")  # resumed at epoch 3
