@@ -103,3 +103,31 @@ def test_training_runs_emit_pngs(tmp_path):
     loop.train_gnn_progressive(cfg, str(tmp_path / "g"))
     assert os.path.exists(tmp_path / "g" / "training_summary.png")
     assert os.path.exists(tmp_path / "g" / "iteration_progression.png")
+
+
+def test_checkify_debug_unroll(rng):
+    """utils.debug.check_unroll passes clean data through and names the first
+    non-finite op on poisoned data (the debugging surface the reference lacks)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+    import pytest
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import dadmm_core
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils import debug
+
+    B, P, m, n, K = 2, 4, 6, 16, 3
+    A = sensing.set_A(jax.random.key(0), P, m, n)
+    AtA = sensing.gram(A)
+    adj = jnp.asarray(graphs.sample_connected_er(np.random.default_rng(0), B, P, 0.6))
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((B, P, m)).astype(np.float32))
+    Atb = sensing.At_apply(A, b)
+    state = dadmm_core.init_state(jax.random.key(1), B, P, n)
+    table = 0.05 * jnp.ones((K, P, 4), jnp.float32)
+
+    Y = debug.check_unroll(state, table, AtA, Atb, adj)
+    assert np.isfinite(np.asarray(Y)).all()
+
+    bad_Atb = Atb.at[0, 0, 0].set(jnp.nan)
+    with pytest.raises(checkify.JaxRuntimeError):
+        debug.check_unroll(state, table, AtA, bad_Atb, adj)
