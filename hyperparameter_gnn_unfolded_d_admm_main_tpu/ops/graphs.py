@@ -82,7 +82,10 @@ def fast_sample_connected_er(seed: int, batch: int, P: int, prob: float) -> np.n
     use_native = native_graphs.available()
     if not _SAMPLER_LOGGED:
         _SAMPLER_LOGGED = True
-        print(f"[graphs] topology sampler backend: {'native C++' if use_native else 'numpy'}")
+        # stderr: bench.py's stdout contract is ONE JSON line for the driver
+        import sys
+        print(f"[graphs] topology sampler backend: "
+              f"{'native C++' if use_native else 'numpy'}", file=sys.stderr)
     if use_native:
         return native_graphs.sample_connected_er(seed, batch, P, prob)
     return sample_connected_er(np.random.default_rng(seed), batch, P, prob)
