@@ -48,6 +48,30 @@ def bench_tpu():
 
     import sys
 
+    def time_loop(fn, args, out_bytes, tag):
+        """Timing window with a physical-plausibility guard: one unroll can never be
+        faster than writing its own output through HBM (~819 GB/s on v5e; bound at
+        2 TB/s for slack). The remote-execution tunnel occasionally returns from
+        block_until_ready early, producing absurd readings (observed: 492k iter/s,
+        330x the honest value) — re-measure and keep the slowest window."""
+        sol_s = out_bytes / 2e12
+        best_dt = None
+        for attempt in range(3):
+            t0 = time.perf_counter()
+            for _ in range(REPEATS):
+                Y = fn(*args)
+            jax.block_until_ready(Y)
+            dt = time.perf_counter() - t0
+            best_dt = dt if best_dt is None else max(best_dt, dt)
+            if dt / REPEATS >= sol_s:
+                return REPEATS * K / dt, dt / REPEATS
+            print(f"{tag}: implausible window ({dt / REPEATS * 1e6:.0f}us/unroll < "
+                  f"HBM bound {sol_s * 1e6:.0f}us), re-measuring", file=sys.stderr, flush=True)
+        print(f"{tag}: all windows implausible, reporting slowest", file=sys.stderr, flush=True)
+        return REPEATS * K / best_dt, best_dt / REPEATS
+
+    Y_BYTES = 4 * K * B * P * N  # the [K,B,P,n] f32 output one unroll must write
+
     def timed(tag, **kw):
         unroll = jax.jit(
             lambda st, tb: dadmm_core.unroll_table(st, tb, AtA, Atb, adj, remat=False, A=A, **kw)
@@ -57,12 +81,8 @@ def bench_tpu():
         Y = unroll(state, table)
         jax.block_until_ready(Y)  # compile + warm
         print(f"compiled {tag} in {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            Y = unroll(state, table)
-        jax.block_until_ready(Y)
-        dt = time.perf_counter() - t0
-        return REPEATS * K / dt, dt / REPEATS
+        out_bytes = Y_BYTES // (2 if kw.get("solver_dtype") == "bfloat16" else 1)
+        return time_loop(unroll, (state, table), out_bytes, tag)
 
     # Headline variant first — remote-compile latency through the tunnel is highly
     # variable (30s..15min per program), so the fastest known variant is measured
@@ -94,7 +114,31 @@ def bench_tpu():
         except Exception as e:  # noqa: BLE001 - extras must never kill the bench
             print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
 
+    # Training step (value+grad through the K-scan with in-scan loss reduction) at
+    # the headline shape — the production training path, not just the forward unroll.
+    if time.monotonic() < deadline:
+        try:
+            label = jax.random.normal(jax.random.key(11), (B, N), jnp.float32)
+
+            def train_loss(tb):
+                per_kp = dadmm_core.unroll_table_losses(
+                    state, tb, None, Atb, adj, label,
+                    nan_guard=False, remat=True, A=A, gram_mode="factored")
+                return jnp.mean(per_kp[-1])
+
+            gstep = jax.jit(jax.value_and_grad(train_loss))
+            v, g = gstep(table)
+            jax.block_until_ready(v)
+            # fwd+bwd must at least stream the scan carry once each way: bound by
+            # half the stacked-Y bytes (conservative).
+            variants["train_fwd_bwd_factored"] = time_loop(
+                lambda tb: gstep(tb)[0], (table,), Y_BYTES // 2, "train_fwd_bwd")
+        except Exception as e:  # noqa: BLE001
+            print(f"variant train_fwd_bwd failed: {e}", file=sys.stderr, flush=True)
+
     # Reference-shape config (small agent count, like the paper benchmarks): P=8.
+    # Also times the VMEM-resident factored Pallas kernel here — the shape where its
+    # whole working set fits on-chip (see kernels/full_unroll.py roofline note).
     if time.monotonic() < deadline:
         try:
             P8 = 8
@@ -111,55 +155,36 @@ def bench_tpu():
                 s, t, AtA8, Atb8, adj8, remat=False, nan_guard=False))
             Y = un8(st8, tb8)
             jax.block_until_ready(Y)
-            t0 = time.perf_counter()
-            for _ in range(REPEATS):
-                Y = un8(st8, tb8)
+            y8_bytes = 4 * K * B * P8 * N
+            variants["ref_shape_P8_noguard"] = time_loop(
+                un8, (st8, tb8), y8_bytes, "ref_shape_P8")
+
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.kernels import full_unroll
+
+            deg8 = jnp.sum(adj8, axis=-1)
+            clip8 = full_unroll.unfolded_clip_table(K)
+            fused8 = jax.jit(lambda s, t: full_unroll.fused_unroll_factored(
+                A8, s.y, s.U, s.delta, Atb8, deg8, adj8, t, clip8))
+            Y = fused8(st8, tb8)
             jax.block_until_ready(Y)
-            dt = time.perf_counter() - t0
-            variants["ref_shape_P8_noguard"] = (REPEATS * K / dt, dt / REPEATS)
+            # On-hardware K=1 parity gate (silent-miscompile history: never time
+            # unchecked kernel output).
+            Y1 = jax.jit(lambda: full_unroll.fused_unroll_factored(
+                A8, st8.y, st8.U, st8.delta, Atb8, deg8, adj8, tb8[:1], clip8[:1]))()
+            Y1r = jax.jit(full_unroll._jnp_unroll_factored)(
+                A8, st8.y, st8.U, st8.delta, Atb8, deg8, adj8, tb8[:1], clip8[:1])
+            err = float(jnp.max(jnp.abs(Y1 - Y1r)) / (jnp.max(jnp.abs(Y1r)) + 1e-9))
+            print(f"resident kernel K=1 parity rel err: {err:.2e}", file=sys.stderr, flush=True)
+            if err < 1e-3:
+                variants["ref_shape_P8_pallas_resident"] = time_loop(
+                    fused8, (st8, tb8), y8_bytes, "ref_shape_P8_pallas")
         except Exception as e:  # noqa: BLE001
             print(f"variant ref_shape_P8 failed: {e}", file=sys.stderr, flush=True)
 
-    # Full-unroll fused kernel: whole K-loop resident in VMEM (kernels/full_unroll.py).
-    if time.monotonic() < deadline:
-        try:
-            from hyperparameter_gnn_unfolded_d_admm_main_tpu.kernels import full_unroll
-
-            deg = jnp.sum(adj, axis=-1)
-            clip_tab = full_unroll.unfolded_clip_table(K)
-            fused = jax.jit(
-                lambda st, tb: full_unroll.fused_unroll(
-                    AtA, st.y, st.U, st.delta, Atb, deg, adj, tb, clip_tab
-                )
-            )
-            t0 = time.perf_counter()
-            Y = fused(state, table)
-            jax.block_until_ready(Y)
-            print(f"compiled pallas_full_unroll in {time.perf_counter() - t0:.1f}s",
-                  file=sys.stderr, flush=True)
-            # On-hardware parity gate at K=1 (before the sign() discontinuity can
-            # amplify the benign FMA-vs-einsum association difference): this kernel
-            # class has a silent-miscompile history, never time unchecked output.
-            Y1 = jax.jit(lambda: full_unroll.fused_unroll(
-                AtA, state.y, state.U, state.delta, Atb, deg, adj,
-                table[:1], clip_tab[:1]))()
-            Y1_ref = jax.jit(full_unroll._jnp_unroll)(
-                AtA, state.y, state.U, state.delta, Atb, deg, adj,
-                table[:1], clip_tab[:1])
-            err = float(jnp.max(jnp.abs(Y1 - Y1_ref)) / (jnp.max(jnp.abs(Y1_ref)) + 1e-9))
-            print(f"fused K=1 parity rel err: {err:.2e}", file=sys.stderr, flush=True)
-            if err < 1e-3:
-                t0 = time.perf_counter()
-                for _ in range(REPEATS):
-                    Y = fused(state, table)
-                jax.block_until_ready(Y)
-                dt = time.perf_counter() - t0
-                variants["pallas_full_unroll"] = (REPEATS * K / dt, dt / REPEATS)
-            else:
-                print("skipping pallas_full_unroll timing: parity gate failed",
-                      file=sys.stderr, flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"variant pallas_full_unroll failed: {e}", file=sys.stderr, flush=True)
+    # (The Gram-streaming full-unroll kernel is deliberately NOT timed at P=64: its
+    # per-batch-tile AtA re-stream makes it uncompetitive there by construction —
+    # see kernels/full_unroll.py. The resident factored kernel above covers the
+    # kernel story at the shape where residency applies.)
     return variants
 
 
@@ -208,9 +233,10 @@ def main():
         base_ips, base_step = bench_torch_reference_style()
     except Exception:  # noqa: BLE001 - fall back to the recorded round-1 measurement
         base_ips = 0.0522
-    # Headline over the P=64 scaled config only (ref_shape_* rows are a different,
-    # easier workload — informational).
-    headline = {k: v for k, v in variants.items() if not k.startswith("ref_shape")}
+    # Headline over the P=64 scaled-config FORWARD unroll only (ref_shape_* is a
+    # different, easier workload; train_* includes the backward — informational).
+    headline = {k: v for k, v in variants.items()
+                if not k.startswith(("ref_shape", "train_"))}
     best_name, (best_ips, best_step) = max(headline.items(), key=lambda kv: kv[1][0])
     print(json.dumps({
         "metric": "dadmm_iter_per_sec_per_chip",
