@@ -19,11 +19,12 @@ import jax
 import jax.numpy as jnp
 
 
-def init_table(K: int, P: int, mode: str = "diff", dtype=jnp.float32) -> jax.Array:
+def init_table(K: int, P: int, mode: str = "diff", dtype=jnp.float32, width: int = 4) -> jax.Array:
     """Zero-initialized raw table (`unfolded_DLASSO.py:152`). mode 'same' shares one row
-    across agents (`unfolded_DLASSO.py:21-24`)."""
+    across agents (`unfolded_DLASSO.py:21-24`). width=4 for dlasso (alpha,tau,rho,eta),
+    6 for dlr (rho,alpha,delta,eta,gamma,beta)."""
     Pp = 1 if mode == "same" else P
-    return jnp.zeros((K, Pp, 4), dtype=dtype)
+    return jnp.zeros((K, Pp, width), dtype=dtype)
 
 
 def hyp_table(

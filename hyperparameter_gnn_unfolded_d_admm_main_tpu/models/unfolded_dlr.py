@@ -1,0 +1,151 @@
+"""Unfolded D-ADMM for distributed linear regression (dlr) — learned scalar table.
+
+BEYOND-REFERENCE extension: the reference unfolds only the LASSO case
+(`unfolded_DLASSO.py`); its dlr support is the classic Gauss-Seidel family
+(`models.py:5-330`, here `models/classic.py:DADMMLRClassic`). This module applies the
+same unfolding recipe to the dlr system — Jacobi all-agents-at-once updates, a
+`lax.scan` over K, and the cumsum-sigmoid learned table (`models/seq_hyperparam.py`)
+widened to the dlr's six hyperparameters (rho, alpha, delta, eta, gamma, beta,
+column order of `dlr.py:39-41`).
+
+Per agent p, per scenario (the dlr update equations of `models.py:125-147`, Jacobi
+form with the consensus sums taken from the previous iterate):
+
+    g_a = x(x^T a) + x*w - x*y + rho*deg*a + deg*mu - rho*sum_N(a)
+    g_w = (x^T a) + w - y + delta*deg*w + deg*lamda - delta*sum_N(w)
+    a <- clamp(a - alpha * clamp(g_a));  w <- clamp(w - beta * clamp(g_w))
+    mu <- mu + eta * (deg*a - sum_N(a));  lamda <- lamda + gamma * (deg*w - sum_N(w))
+
+The adaptive clamp ladder of the unfolded LASSO (`dadmm_core.unfolded_clamps`) is
+reused for robustness during early training — a design choice of this extension, not
+a reference behavior (the classic dlr path is clamp-free).
+
+State: a [B,P,d] weights, w [B,P,1] bias, duals (mu, lamda); each scenario is an
+independent problem instance and each agent holds one observation (x [B,P,d],
+y [B,P,1]) — the same batch semantics as the classic dlr path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from . import dadmm_core, seq_hyperparam
+
+
+class DLRState(NamedTuple):
+    a: jax.Array       # [B, P, d]
+    w: jax.Array       # [B, P, 1]
+    mu: jax.Array      # [B, P, d]
+    lamda: jax.Array   # [B, P, 1]
+
+
+def init_state(key: jax.Array, batch: int, P: int, d: int, dtype=jnp.float32) -> DLRState:
+    """a ~ N(0,1), w ~ U(0,1), duals zero (classic init, `models.py:38-44`)."""
+    ka, kw = jax.random.split(key)
+    return DLRState(
+        a=jax.random.normal(ka, (batch, P, d), dtype),
+        w=jax.random.uniform(kw, (batch, P, 1), dtype),
+        mu=jnp.zeros((batch, P, d), dtype),
+        lamda=jnp.zeros((batch, P, 1), dtype),
+    )
+
+
+def _neighbor_sum(adj: jax.Array, v: jax.Array) -> jax.Array:
+    """sum over graph neighbors: adj [B,P,P], v [B,P,d] -> [B,P,d]."""
+    return jnp.einsum("bpq,bqd->bpd", adj, v)
+
+
+def unroll_table(
+    state: DLRState,
+    hyp_table: jax.Array,     # [K, Pp, 6] (rho, alpha, delta, eta, gamma, beta)
+    x: jax.Array,             # [B, P, d]
+    y: jax.Array,             # [B, P, 1]
+    adj: jax.Array,           # [B, P, P]
+    remat: bool = True,
+) -> Tuple[DLRState, jax.Array]:
+    """Scan K dlr iterations; returns (final state, per-iteration per-agent MSE [K,P])
+    where the MSE is of the prediction a.x + w against y."""
+    deg = jnp.sum(adj, axis=-1)[..., None]   # [B, P, 1]
+
+    def body(carry, xs):
+        st, k = carry, xs[0]
+        hyp_k = xs[1]
+        rho = hyp_k[None, :, 0:1]
+        alpha = hyp_k[None, :, 1:2]
+        delt = hyp_k[None, :, 2:3]
+        eta = hyp_k[None, :, 3:4]
+        gamma = hyp_k[None, :, 4:5]
+        beta = hyp_k[None, :, 5:6]
+        c = dadmm_core.unfolded_clamps(k)
+        a, w, mu, lamda = st
+        sum_a = _neighbor_sum(adj, a)
+        sum_w = _neighbor_sum(adj, w)
+        xta = jnp.sum(x * a, axis=-1, keepdims=True)   # [B,P,1]
+        g_a = x * xta + x * w - x * y + rho * deg * a + deg * mu - rho * sum_a
+        g_w = xta + w - y + delt * deg * w + deg * lamda - delt * sum_w
+        g_a = jnp.clip(g_a, -c.grad, c.grad)
+        g_w = jnp.clip(g_w, -c.grad, c.grad)
+        a = jnp.clip(a - alpha * g_a, -c.value, c.value)
+        w = jnp.clip(w - beta * g_w, -c.value, c.value)
+        sum_a = _neighbor_sum(adj, a)
+        sum_w = _neighbor_sum(adj, w)
+        mu = jnp.clip(mu + eta * (deg * a - sum_a), -c.dual, c.dual)
+        lamda = jnp.clip(lamda + gamma * (deg * w - sum_w), -c.dual, c.dual)
+        nxt = DLRState(a=a, w=w, mu=mu, lamda=lamda)
+        pred = jnp.sum(x * a, axis=-1, keepdims=True) + w
+        per_p = jnp.mean((pred - y) ** 2, axis=(0, 2))  # [P]
+        return nxt, per_p
+
+    if remat:
+        body = jax.checkpoint(body)
+    K = hyp_table.shape[0]
+    ks = jnp.arange(K, dtype=jnp.float32)
+    st, per_kp = jax.lax.scan(body, state, (ks, hyp_table))
+    return st, per_kp
+
+
+class UnfoldedDLR:
+    """Learned-table unfolded dlr model (pytree params, pure apply)."""
+
+    # (rho, alpha, delta, eta, gamma, beta) caps: rho/delta get rho_max, the step
+    # sizes alpha/beta get alpha_max, the dual steps eta/gamma get eta_max.
+    def __init__(self, P: int, d: int, cfg: Config):
+        self.P, self.d = P, d
+        self.K = cfg.GHN_iter_num
+        self.cfg = cfg
+        self.max_param = jnp.asarray(
+            [cfg.rho_max, cfg.alpha_max, cfg.rho_max, cfg.eta_max, cfg.eta_max,
+             cfg.alpha_max], dtype=jnp.float32,
+        )
+
+    def init(self) -> dict:
+        return {
+            "seq_hyp": seq_hyperparam.init_table(
+                self.K, self.P, self.cfg.DADMM_mode, width=6
+            )
+        }
+
+    def apply_losses(
+        self,
+        params: dict,
+        key: jax.Array,
+        x: jax.Array,
+        y: jax.Array,
+        adj: jax.Array,
+        K: Optional[int] = None,
+        training: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (per-iteration per-agent MSE [K, P], final-iteration hyp [Pp, 6])."""
+        K = self.K if K is None else min(K, self.K)
+        table = seq_hyperparam.hyp_table(
+            params["seq_hyp"], self.max_param, training=training,
+            max_penalty_threshold=self.cfg.max_penalty_threshold,
+            penalty_reduction_factor=self.cfg.penalty_reduction_factor,
+        )[:K]
+        state = init_state(key, x.shape[0], self.P, self.d, dtype=x.dtype)
+        _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat)
+        return per_kp, table[K - 1]

@@ -44,6 +44,35 @@ def make_dataset(
     return b, y
 
 
+def make_dlr_dataset(
+    key: jax.Array,
+    P: int,
+    data_len: int,
+    d: int,
+    snr: float = 4.0,
+    noise: bool = True,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Synthetic distributed linear regression instances (for the unfolded dlr
+    extension — the reference's dlr path uses MNIST, unavailable offline).
+
+    Each scenario has one shared ground-truth regressor (w*, b*) per scenario; each
+    agent p holds one observation x[s, p] ~ N(0,1)/sqrt(d) with target
+    y[s, p] = x.w* + b* (+ sigma * N(0,1)). Consensus across agents recovers the
+    regressor no single observation determines.
+    Returns (x [data_len, P, d], y [data_len, P, 1]).
+    """
+    k_w, k_b, k_x, k_n = jax.random.split(key, 4)
+    w_star = jax.random.normal(k_w, (data_len, d), dtype)
+    b_star = jax.random.normal(k_b, (data_len, 1), dtype)
+    x = jax.random.normal(k_x, (data_len, P, d), dtype) / jnp.sqrt(jnp.asarray(d, dtype))
+    y = jnp.einsum("spd,sd->sp", x, w_star)[..., None] + b_star[:, None, :]
+    if noise:
+        sigma = jnp.power(10.0, -snr / 40.0).astype(dtype)
+        y = y + sigma * jax.random.normal(k_n, y.shape, dtype)
+    return x, y
+
+
 def batch_iterator(
     rng: np.random.Generator,
     b: jax.Array,

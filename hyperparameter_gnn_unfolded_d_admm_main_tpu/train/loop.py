@@ -378,3 +378,113 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         "final_iterations": K,
         "out_dir": out_dir,
     }
+
+
+# ----------------------------------------------------------------------- unfolded dlr
+
+
+def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) -> Dict:
+    """Unfolded distributed-linear-regression training (beyond-reference extension —
+    the reference unfolds only LASSO; see models/unfolded_dlr.py). Same harness shape
+    as `train_unfolded`: fixed graph, Adam, plateau(0.8,3), early stop 70.
+    Uses cfg.n as the regression feature dimension d."""
+    from ..models.unfolded_dlr import UnfoldedDLR
+
+    log = IOStream(os.path.join(out_dir, "run.log"))
+    key = jax.random.key(int(cfg.seed))
+    k_data_tr, k_data_va, key = jax.random.split(key, 3)
+    d = cfg.n
+
+    x_tr, y_tr = data_ops.make_dlr_dataset(k_data_tr, cfg.P, cfg.train_size, d,
+                                           cfg.snr, noise=cfg.data_noise)
+    x_va, y_va = data_ops.make_dlr_dataset(k_data_va, cfg.P, cfg.test_size, d,
+                                           cfg.snr, noise=cfg.data_noise)
+
+    model = UnfoldedDLR(cfg.P, d, cfg)
+    params = model.init()
+    tx = optim.make_optimizer("adam", cfg.lr)
+    opt_state = tx.init(params)
+    adj = _fixed_graph_batch(int(cfg.seed), cfg.batch_size, cfg.P, cfg.graph_prob)
+
+    @jax.jit
+    def train_step(params, opt_state, key, x, y):
+        def loss_fn(p):
+            per_kp, hyp = model.apply_losses(p, key, x, y, adj, training=True)
+            lm, lf = losses.losses_from_per_kp(per_kp)
+            return lf, (lm, hyp)
+
+        (lf, (lm, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, lm, lf, hyp
+
+    @jax.jit
+    def eval_step(params, key, x, y):
+        per_kp, _ = model.apply_losses(params, key, x, y, adj, training=True)
+        lm, lf = losses.losses_from_per_kp(per_kp)
+        return lm, lf
+
+    plateau = schedule.ReduceLROnPlateau(lr=cfg.lr, factor=0.8, patience=3, min_lr=1e-6)
+    stopper = schedule.EarlyStopping(patience=70)
+    csv = CSVLogger(["epoch", "train_loss", "valid_loss"])
+    rng = np.random.default_rng(int(cfg.seed))
+    timer = StepTimer()
+    start_epoch = 0
+    if resume and ckpt.exists(resume):
+        tree, meta = ckpt.restore(resume, {"params": params, "opt_state": opt_state})
+        params, opt_state = tree["params"], tree["opt_state"]
+        start_epoch = int(meta["epoch"]) + 1
+        plateau.lr = float(meta["lr"])
+        plateau.best = float(meta["plateau_best"])
+        stopper.best = float(meta["stop_best"])
+        log.cprint(f"resumed from {resume} at epoch {start_epoch}")
+
+    best_params = params
+    for epoch in range(start_epoch, cfg.num_epochs):
+        opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr)
+        tr_loss, nb = 0.0, 0
+        for x, y in data_ops.batch_iterator(rng, x_tr, y_tr, cfg.batch_size):
+            key, kstep = jax.random.split(key)
+            with timer:
+                params, opt_state, lm, lf, hyp = train_step(params, opt_state, kstep, x, y)
+                jax.block_until_ready(lf)
+            tr_loss += float(lf)
+            nb += 1
+        tr_loss /= max(nb, 1)
+
+        va_loss, nb = 0.0, 0
+        for x, y in data_ops.batch_iterator(rng, x_va, y_va, cfg.batch_size):
+            key, kstep = jax.random.split(key)
+            lm, lf = eval_step(params, kstep, x, y)
+            va_loss += float(lf)
+            nb += 1
+        va_loss /= max(nb, 1)
+
+        plateau.step(va_loss)
+        csv.append(epoch=epoch + 1, train_loss=tr_loss, valid_loss=va_loss)
+        log.cprint(f"epoch {epoch + 1}/{cfg.num_epochs} | train {tr_loss:.5f} | "
+                   f"valid {va_loss:.5f} | lr {plateau.lr:.2e}")
+        stop = stopper.step(va_loss)
+        meta = {"epoch": epoch, "valid_loss": va_loss, "lr": plateau.lr,
+                "plateau_best": plateau.best, "plateau_num_bad": plateau.num_bad,
+                "stop_best": stopper.best, "stop_num_bad": stopper.num_bad}
+        if stopper.improved:
+            best_params = params
+            ckpt.save(os.path.join(out_dir, "best"),
+                      {"params": params, "opt_state": opt_state}, meta)
+        ckpt.save(os.path.join(out_dir, "last"),
+                  {"params": params, "opt_state": opt_state}, meta)
+        if stop:
+            log.cprint(f"early stopping at epoch {epoch + 1}")
+            break
+
+    csv.write(os.path.join(out_dir, "losses.csv"))
+    plots.plot_losses(out_dir, csv.column("train_loss"), csv.column("valid_loss"),
+                      epochs=csv.column("epoch"))
+    save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
+    log.cprint(f"best valid loss: {stopper.best:.6f}")
+    return {
+        "best_valid_loss": stopper.best,
+        "params": best_params,
+        "steps_per_sec": timer.steady_state_rate(),
+        "out_dir": out_dir,
+    }

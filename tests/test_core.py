@@ -284,3 +284,63 @@ def test_bf16_solver_state_quality_gate():
         assert Y.dtype == jnp.dtype(dtype)
         nmses[dtype] = float(losses.nmse(Y[-1].astype(jnp.float32), y))
     assert nmses["bfloat16"] <= nmses["float32"] * 1.005, nmses
+
+
+def test_unfolded_dlr_matches_numpy_restatement(rng):
+    """The unfolded dlr scan (models/unfolded_dlr.py) matches an independent numpy
+    restatement of the Jacobi dlr update equations (classic dlr math of
+    reference models.py:125-147 + the adaptive clamp ladder of this extension)."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import unfolded_dlr
+
+    B, P, d, K = 2, 4, 6, 4
+    adj = graphs.sample_connected_er(rng, B, P, 0.6)
+    x = rng.standard_normal((B, P, d)).astype(np.float32)
+    y = rng.standard_normal((B, P, 1)).astype(np.float32)
+    hyp = rng.uniform(0.01, 0.2, size=(K, P, 6)).astype(np.float32)
+    st = unfolded_dlr.init_state(jax.random.key(0), B, P, d)
+
+    out, per_kp = unfolded_dlr.unroll_table(
+        st, jnp.asarray(hyp), jnp.asarray(x), jnp.asarray(y), jnp.asarray(adj)
+    )
+
+    a, w, mu, lam = (np.asarray(v) for v in st)
+    deg = adj.sum(-1)[..., None]
+    for k in range(K):
+        rho, alpha, delt, eta, gamma, beta = (hyp[k][None, :, i:i+1] for i in range(6))
+        g = max(1.0, 30.0 - k)
+        v = max(10.0, 200.0 - 3.0 * k)
+        sum_a = np.einsum("bpq,bqd->bpd", adj, a)
+        sum_w = np.einsum("bpq,bqd->bpd", adj, w)
+        xta = np.sum(x * a, axis=-1, keepdims=True)
+        g_a = np.clip(x * xta + x * w - x * y + rho * deg * a + deg * mu - rho * sum_a, -g, g)
+        g_w = np.clip(xta + w - y + delt * deg * w + deg * lam - delt * sum_w, -g, g)
+        a = np.clip(a - alpha * g_a, -v, v)
+        w = np.clip(w - beta * g_w, -v, v)
+        sum_a = np.einsum("bpq,bqd->bpd", adj, a)
+        sum_w = np.einsum("bpq,bqd->bpd", adj, w)
+        mu = np.clip(mu + eta * (deg * a - sum_a), -v, v)
+        lam = np.clip(lam + gamma * (deg * w - sum_w), -v, v)
+    np.testing.assert_allclose(np.asarray(out.a), a, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.w), w, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.mu), mu, rtol=2e-4, atol=2e-4)
+    pred = np.sum(x * a, axis=-1, keepdims=True) + w
+    want_last = np.mean((pred - y) ** 2, axis=(0, 2))
+    np.testing.assert_allclose(np.asarray(per_kp[-1]), want_last, rtol=2e-4, atol=2e-4)
+
+
+def test_unfolded_dlr_trains(tmp_path):
+    """End-to-end: the learned 6-param table reduces validation loss on synthetic
+    dlr data through the CLI driver."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import unfolded_dlr as drv
+
+    res = drv.main([
+        "--P", "4", "--n", "8", "--GHN_iter_num", "4", "--batch_size", "4",
+        "--train_size", "16", "--test_size", "8", "--num_epochs", "8",
+        "--lr", "5e-2", "--save_dir", str(tmp_path / "dlr"),
+    ])
+    import os
+    assert np.isfinite(res["best_valid_loss"])
+    with open(os.path.join(res["out_dir"], "losses.csv")) as f:
+        rows = f.read().strip().splitlines()[1:]
+    first = float(rows[0].split(",")[2])
+    assert res["best_valid_loss"] < first, (res["best_valid_loss"], first)
