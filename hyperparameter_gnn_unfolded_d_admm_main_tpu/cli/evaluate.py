@@ -64,6 +64,32 @@ def main(argv=None):
     from ..train import losses
     from ..utils import checkpoint as ckpt
 
+    if os.path.basename(os.path.normpath(run_dir)).endswith("unfolded_dlr"):
+        # dlr family: no sensing matrix; regenerate regression data from the config.
+        from ..models.unfolded_dlr import UnfoldedDLR
+
+        key = jax.random.key(int(cfg.seed) + 12345)
+        k_data, k_state = jax.random.split(key)
+        x, yt = data_ops.make_dlr_dataset(k_data, cfg.P, test_size, cfg.n,
+                                          cfg.snr, noise=cfg.data_noise)
+        rng_g = np.random.default_rng(int(cfg.seed))
+        one = graphs.sample_er_adjacency(rng_g, cfg.P, cfg.graph_prob)
+        adj = jnp.broadcast_to(jnp.asarray(one), (test_size, cfg.P, cfg.P))
+        model = UnfoldedDLR(cfg.P, cfg.n, cfg)
+        params = model.init()
+        tree, meta = ckpt.restore_partial(
+            os.path.join(run_dir, ckpt_name), {"params": params})
+        per_kp, _ = model.apply_losses(tree["params"], k_state, x, yt, adj,
+                                       training=True)
+        curve = np.asarray(jnp.mean(per_kp, axis=1))
+        np.save(os.path.join(run_dir, f"eval_loss_curve_{ckpt_name}.npy"), curve)
+        print("per-iteration loss curve (dlr):")
+        for k, v in enumerate(curve):
+            print(f"  k={k + 1:3d}  loss={v:.6f}")
+        print(f"final-layer loss: {curve[-1]:.6f} (ckpt: {ckpt_name}, "
+              f"epoch {meta.get('epoch') if meta else '?'})")
+        return {"loss_curve": curve, "final_loss": float(curve[-1])}
+
     A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
     key = jax.random.key(int(cfg.seed) + 12345)
     k_data, k_state = jax.random.split(key)

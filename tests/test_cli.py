@@ -143,3 +143,17 @@ def test_unfolded_cli_resume_flag(tmp_path):
     with open(os.path.join(r2["out_dir"], "losses.csv")) as f:
         rows = f.read().strip().splitlines()
     assert rows[1].startswith("3,")  # resumed at epoch 3
+
+
+def test_evaluate_cli_dlr_run(tmp_path):
+    """evaluate.py on an unfolded-dlr run dir reports a finite, decreasing curve."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate, unfolded_dlr as drv
+
+    res = drv.main([
+        "--P", "4", "--n", "8", "--GHN_iter_num", "4", "--batch_size", "4",
+        "--train_size", "16", "--test_size", "8", "--num_epochs", "6",
+        "--lr", "5e-2", "--save_dir", str(tmp_path / "dlr"),
+    ])
+    out = evaluate.main([res["out_dir"], "--test_size", "8"])
+    assert out["loss_curve"].shape == (4,)
+    assert np.isfinite(out["loss_curve"]).all()
