@@ -66,7 +66,7 @@ def main(argv=None):
 
     if os.path.basename(os.path.normpath(run_dir)).endswith("unfolded_dlr"):
         # dlr family: no sensing matrix; regenerate regression data from the config.
-        from ..models.unfolded_dlr import UnfoldedDLR
+        from ..models.unfolded_dlr import DLRGNNHyp, UnfoldedDLR
 
         key = jax.random.key(int(cfg.seed) + 12345)
         k_data, k_state = jax.random.split(key)
@@ -75,12 +75,21 @@ def main(argv=None):
         rng_g = np.random.default_rng(int(cfg.seed))
         one = graphs.sample_er_adjacency(rng_g, cfg.P, cfg.graph_prob)
         adj = jnp.broadcast_to(jnp.asarray(one), (test_size, cfg.P, cfg.P))
-        model = UnfoldedDLR(cfg.P, cfg.n, cfg)
-        params = model.init()
-        tree, meta = ckpt.restore_partial(
-            os.path.join(run_dir, ckpt_name), {"params": params})
-        per_kp, _ = model.apply_losses(tree["params"], k_state, x, yt, adj,
-                                       training=True)
+        if cfg.hyp_mode == "GHyp":
+            model = DLRGNNHyp(cfg.P, cfg.n, cfg)
+            params, norm_state = model.init(jax.random.key(0))
+            tree, meta = ckpt.restore_partial(
+                os.path.join(run_dir, ckpt_name),
+                {"params": params, "norm_state": norm_state})
+            per_kp, _ = model.apply_losses(tree["params"], tree["norm_state"],
+                                           k_state, x, yt, adj, training=False)
+        else:
+            model = UnfoldedDLR(cfg.P, cfg.n, cfg)
+            params = model.init()
+            tree, meta = ckpt.restore_partial(
+                os.path.join(run_dir, ckpt_name), {"params": params})
+            per_kp, _ = model.apply_losses(tree["params"], k_state, x, yt, adj,
+                                           training=True)
         curve = np.asarray(jnp.mean(per_kp, axis=1))
         np.save(os.path.join(run_dir, f"eval_loss_curve_{ckpt_name}.npy"), curve)
         print("per-iteration loss curve (dlr):")

@@ -149,3 +149,101 @@ class UnfoldedDLR:
         state = init_state(key, x.shape[0], self.P, self.d, dtype=x.dtype)
         _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat)
         return per_kp, table[K - 1]
+
+
+class DLRGNNHyp:
+    """GNN-hypernetwork dlr model (beyond-reference: the reference's hypernetwork
+    family is LASSO-only). Reuses the flagship's encoder/decoder stacks
+    (`models/gnn_hypernet.py`) with dlr-specific conditioning: per-agent features
+    `[a_k || x || w_k || r_k]` (current weights, local observation, bias, residual),
+    in_dim = 2d+2, decoding to the dlr's six hyperparameters per agent per iteration.
+    """
+
+    def __init__(self, P: int, d: int, cfg: Config):
+        from . import gnn_hypernet as gh
+
+        self._gh = gh
+        self.P, self.d = P, d
+        self.K = cfg.GHN_iter_num
+        self.hidden = int(cfg.GHyp_hidden)
+        self.mode = cfg.DADMM_mode
+        self.cfg = cfg
+        self.out_dim = 6 if cfg.DADMM_mode == "same" else 6 * P
+        self.maxes = jnp.asarray(
+            [cfg.rho_max, cfg.alpha_max, cfg.rho_max, cfg.eta_max, cfg.eta_max,
+             cfg.alpha_max], dtype=jnp.float32,
+        )
+
+    def init(self, key: jax.Array):
+        k_enc, k_dec = jax.random.split(key)
+        enc, enc_state = self._gh._init_encoder(
+            k_enc, 2 * self.d + 2, self.hidden, jnp.float32, self.cfg.encoder_type
+        )
+        dec = self._gh._init_decoder(k_dec, self.P, self.hidden, self.out_dim, jnp.float32)
+        return {"encoder": enc, "decoder": dec}, enc_state
+
+    def apply_losses(
+        self,
+        params: dict,
+        state: dict,
+        key: jax.Array,
+        x: jax.Array,
+        y: jax.Array,
+        adj: jax.Array,
+        K: Optional[int] = None,
+        training: bool = True,
+    ):
+        """Returns (per-iteration per-agent MSE [K, P], new norm state)."""
+        from ..ops import graphs as graph_ops
+
+        K = self.K if K is None else min(K, self.K)
+        B = x.shape[0]
+        deg = jnp.sum(adj, axis=-1)[..., None]
+        norm_adj = graph_ops.gcn_norm_adj(adj)
+        k_init, k_scan = jax.random.split(key)
+        st0 = init_state(k_init, B, self.P, self.d, dtype=x.dtype)
+
+        def hyper(params, bn_state, kk, st):
+            pred = jnp.sum(x * st.a, axis=-1, keepdims=True) + st.w
+            feats = jnp.concatenate([st.a, x, st.w, pred - y], axis=-1)  # [B,P,2d+2]
+            k_enc, k_dec = jax.random.split(kk)
+            h, new_state = self._gh._apply_encoder(
+                params["encoder"], bn_state, k_enc, feats, norm_adj, adj, training
+            )
+            out = self._gh._apply_decoder(params["decoder"], k_dec, h, training)
+            hyp = jnp.clip(jax.nn.sigmoid(out), 1e-4, 0.9999)
+            Pp = 1 if self.mode == "same" else self.P
+            hyp = hyp.reshape(B, 6, Pp) * self.maxes[None, :, None]
+            return hyp[..., None], new_state        # [B, 6, Pp, 1]
+
+        def body(carry, k):
+            st, bn_state = carry
+            kk = jax.random.fold_in(k_scan, k)
+            hyp, bn_state = hyper(params, bn_state, kk, st)
+            rho, alpha, delt, eta, gamma, beta = (hyp[:, i] for i in range(6))
+            c = dadmm_core.gnn_clamps(k)
+            a, w, mu, lamda = st
+            sum_a = _neighbor_sum(adj, a)
+            sum_w = _neighbor_sum(adj, w)
+            xta = jnp.sum(x * a, axis=-1, keepdims=True)
+            g_a = x * xta + x * w - x * y + rho * deg * a + deg * mu - rho * sum_a
+            g_w = xta + w - y + delt * deg * w + deg * lamda - delt * sum_w
+            g_a = jnp.clip(g_a, -c.grad, c.grad)
+            g_w = jnp.clip(g_w, -c.grad, c.grad)
+            a = jnp.clip(a - alpha * g_a, -c.value, c.value)
+            w = jnp.clip(w - beta * g_w, -c.value, c.value)
+            sum_a = _neighbor_sum(adj, a)
+            sum_w = _neighbor_sum(adj, w)
+            mu = jnp.clip(mu + eta * (deg * a - sum_a), -c.dual, c.dual)
+            lamda = jnp.clip(lamda + gamma * (deg * w - sum_w), -c.dual, c.dual)
+            nxt = DLRState(a=a, w=w, mu=mu, lamda=lamda)
+            pred = jnp.sum(x * a, axis=-1, keepdims=True) + w
+            per_p = jnp.mean((pred - y) ** 2, axis=(0, 2))
+            return (nxt, bn_state), per_p
+
+        if self.cfg.remat:
+            body = jax.checkpoint(body)
+        (st, bn_state), per_kp = jax.lax.scan(
+            body, (st0, state), jnp.arange(K, dtype=jnp.int32)
+        )
+        return per_kp, bn_state

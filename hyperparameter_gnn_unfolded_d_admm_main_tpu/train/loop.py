@@ -387,39 +387,55 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
     """Unfolded distributed-linear-regression training (beyond-reference extension —
     the reference unfolds only LASSO; see models/unfolded_dlr.py). Same harness shape
     as `train_unfolded`: fixed graph, Adam, plateau(0.8,3), early stop 70.
-    Uses cfg.n as the regression feature dimension d."""
-    from ..models.unfolded_dlr import UnfoldedDLR
+    Uses cfg.n as the regression feature dimension d. `cfg.hyp_mode` selects the
+    hyperparameter tier — 'unfolded' = learned 6-param table, 'GHyp' = the
+    state-conditioned GNN hypernetwork (reference flag `configurations.py:123`)."""
+    from ..models.unfolded_dlr import DLRGNNHyp, UnfoldedDLR
 
     log = IOStream(os.path.join(out_dir, "run.log"))
     key = jax.random.key(int(cfg.seed))
-    k_data_tr, k_data_va, key = jax.random.split(key, 3)
+    k_data_tr, k_data_va, k_model, key = jax.random.split(key, 4)
     d = cfg.n
+    use_gnn = cfg.hyp_mode == "GHyp"
 
     x_tr, y_tr = data_ops.make_dlr_dataset(k_data_tr, cfg.P, cfg.train_size, d,
                                            cfg.snr, noise=cfg.data_noise)
     x_va, y_va = data_ops.make_dlr_dataset(k_data_va, cfg.P, cfg.test_size, d,
                                            cfg.snr, noise=cfg.data_noise)
 
-    model = UnfoldedDLR(cfg.P, d, cfg)
-    params = model.init()
+    if use_gnn:
+        model = DLRGNNHyp(cfg.P, d, cfg)
+        params, norm_state = model.init(k_model)
+    else:
+        model = UnfoldedDLR(cfg.P, d, cfg)
+        params, norm_state = model.init(), {}
     tx = optim.make_optimizer("adam", cfg.lr)
     opt_state = tx.init(params)
     adj = _fixed_graph_batch(int(cfg.seed), cfg.batch_size, cfg.P, cfg.graph_prob)
 
     @jax.jit
-    def train_step(params, opt_state, key, x, y):
+    def train_step(params, norm_state, opt_state, key, x, y):
         def loss_fn(p):
-            per_kp, hyp = model.apply_losses(p, key, x, y, adj, training=True)
+            if use_gnn:
+                per_kp, new_state = model.apply_losses(p, norm_state, key, x, y, adj,
+                                                       training=True)
+            else:
+                per_kp, new_state = model.apply_losses(p, key, x, y, adj,
+                                                       training=True)[0], norm_state
             lm, lf = losses.losses_from_per_kp(per_kp)
-            return lf, (lm, hyp)
+            return lf, (lm, new_state)
 
-        (lf, (lm, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (lf, (lm, new_state)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, lm, lf, hyp
+        return optax.apply_updates(params, updates), new_state, opt_state, lm, lf
 
     @jax.jit
-    def eval_step(params, key, x, y):
-        per_kp, _ = model.apply_losses(params, key, x, y, adj, training=True)
+    def eval_step(params, norm_state, key, x, y):
+        if use_gnn:
+            per_kp, _ = model.apply_losses(params, norm_state, key, x, y, adj,
+                                           training=False)
+        else:
+            per_kp, _ = model.apply_losses(params, key, x, y, adj, training=True)
         lm, lf = losses.losses_from_per_kp(per_kp)
         return lm, lf
 
@@ -430,8 +446,9 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
     timer = StepTimer()
     start_epoch = 0
     if resume and ckpt.exists(resume):
-        tree, meta = ckpt.restore(resume, {"params": params, "opt_state": opt_state})
-        params, opt_state = tree["params"], tree["opt_state"]
+        tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
+        tree, meta = ckpt.restore(resume, tree)
+        params, norm_state, opt_state = tree["params"], tree["norm_state"], tree["opt_state"]
         start_epoch = int(meta["epoch"]) + 1
         plateau.lr = float(meta["lr"])
         plateau.best = float(meta["plateau_best"])
@@ -445,7 +462,8 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         for x, y in data_ops.batch_iterator(rng, x_tr, y_tr, cfg.batch_size):
             key, kstep = jax.random.split(key)
             with timer:
-                params, opt_state, lm, lf, hyp = train_step(params, opt_state, kstep, x, y)
+                params, norm_state, opt_state, lm, lf = train_step(
+                    params, norm_state, opt_state, kstep, x, y)
                 jax.block_until_ready(lf)
             tr_loss += float(lf)
             nb += 1
@@ -454,7 +472,7 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         va_loss, nb = 0.0, 0
         for x, y in data_ops.batch_iterator(rng, x_va, y_va, cfg.batch_size):
             key, kstep = jax.random.split(key)
-            lm, lf = eval_step(params, kstep, x, y)
+            lm, lf = eval_step(params, norm_state, kstep, x, y)
             va_loss += float(lf)
             nb += 1
         va_loss /= max(nb, 1)
@@ -467,12 +485,11 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         meta = {"epoch": epoch, "valid_loss": va_loss, "lr": plateau.lr,
                 "plateau_best": plateau.best, "plateau_num_bad": plateau.num_bad,
                 "stop_best": stopper.best, "stop_num_bad": stopper.num_bad}
+        tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
         if stopper.improved:
             best_params = params
-            ckpt.save(os.path.join(out_dir, "best"),
-                      {"params": params, "opt_state": opt_state}, meta)
-        ckpt.save(os.path.join(out_dir, "last"),
-                  {"params": params, "opt_state": opt_state}, meta)
+            ckpt.save(os.path.join(out_dir, "best"), tree, meta)
+        ckpt.save(os.path.join(out_dir, "last"), tree, meta)
         if stop:
             log.cprint(f"early stopping at epoch {epoch + 1}")
             break

@@ -344,3 +344,25 @@ def test_unfolded_dlr_trains(tmp_path):
         rows = f.read().strip().splitlines()[1:]
     first = float(rows[0].split(",")[2])
     assert res["best_valid_loss"] < first, (res["best_valid_loss"], first)
+
+
+def test_dlr_gnn_hypernetwork_trains(tmp_path):
+    """GHyp tier on the dlr family: the state-conditioned hypernetwork reduces
+    validation loss end-to-end (cli driver with --hyp_mode GHyp), and evaluate
+    serves the resulting checkpoint."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate, unfolded_dlr as drv
+
+    res = drv.main([
+        "--P", "4", "--n", "8", "--GHN_iter_num", "3", "--GHyp_hidden", "4",
+        "--batch_size", "4", "--train_size", "16", "--test_size", "8",
+        "--num_epochs", "6", "--lr", "2e-3", "--hyp_mode", "GHyp",
+        "--save_dir", str(tmp_path / "dlrg"),
+    ])
+    import os
+    assert np.isfinite(res["best_valid_loss"])
+    with open(os.path.join(res["out_dir"], "losses.csv")) as f:
+        rows = f.read().strip().splitlines()[1:]
+    first = float(rows[0].split(",")[2])
+    assert res["best_valid_loss"] < first, (res["best_valid_loss"], first)
+    out = evaluate.main([res["out_dir"], "--test_size", "8"])
+    assert np.isfinite(out["loss_curve"]).all()
