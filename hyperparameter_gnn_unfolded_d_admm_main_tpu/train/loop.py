@@ -56,6 +56,23 @@ def _fresh_graph_batch(seed: int, batch: int, P: int, prob: float,
     `gnn_dlasso_progressive.py:181-191`)."""
     return jnp.asarray(graphs.sample_graph_batch(seed, batch, P, graph_type, max(prob, 0.3)))
 
+def _restore_scheduler_state(meta: dict, plateau, stopper) -> int:
+    """Shared resume plumbing: restore LR-scheduler and early-stop state from a
+    checkpoint's metadata; returns the epoch to resume from."""
+    plateau.lr = float(meta["lr"])
+    plateau.best = float(meta["plateau_best"])
+    plateau.num_bad = int(meta.get("plateau_num_bad", 0))
+    stopper.best = float(meta["stop_best"])
+    stopper.num_bad = int(meta.get("stop_num_bad", 0))
+    return int(meta["epoch"]) + 1
+
+
+def _ckpt_meta(epoch: int, valid_loss: float, plateau, stopper, **extra) -> dict:
+    """Shared checkpoint metadata (scheduler + early-stop state for exact resume)."""
+    return {"epoch": epoch, "valid_loss": valid_loss, "lr": plateau.lr,
+            "plateau_best": plateau.best, "plateau_num_bad": plateau.num_bad,
+            "stop_best": stopper.best, "stop_num_bad": stopper.num_bad, **extra}
+
 
 # --------------------------------------------------------------------------- unfolded
 
@@ -110,12 +127,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         tree = {"params": params, "opt_state": opt_state}
         tree, meta = ckpt.restore(resume, tree)
         params, opt_state = tree["params"], tree["opt_state"]
-        start_epoch = int(meta["epoch"]) + 1
-        plateau.lr = float(meta["lr"])
-        plateau.best = float(meta["plateau_best"])
-        plateau.num_bad = int(meta.get("plateau_num_bad", 0))
-        stopper.best = float(meta["stop_best"])
-        stopper.num_bad = int(meta.get("stop_num_bad", 0))
+        start_epoch = _restore_scheduler_state(meta, plateau, stopper)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
     final_nmse = float("nan")
@@ -162,16 +174,12 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
             ckpt.save(
                 os.path.join(out_dir, "best"),
                 {"params": params, "opt_state": opt_state},
-                {"epoch": epoch, "valid_loss": va_loss, "lr": plateau.lr,
-                 "plateau_best": plateau.best, "plateau_num_bad": plateau.num_bad,
-                 "stop_best": stopper.best, "stop_num_bad": stopper.num_bad},
+                _ckpt_meta(epoch, va_loss, plateau, stopper),
             )
         ckpt.save(
             os.path.join(out_dir, "last"),
             {"params": params, "opt_state": opt_state},
-            {"epoch": epoch, "valid_loss": va_loss, "lr": plateau.lr,
-             "plateau_best": plateau.best, "plateau_num_bad": plateau.num_bad,
-             "stop_best": stopper.best, "stop_num_bad": stopper.num_bad},
+            _ckpt_meta(epoch, va_loss, plateau, stopper),
         )
         if stop:
             log.cprint(f"early stopping at epoch {epoch + 1}")
@@ -278,12 +286,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
         tree, meta = ckpt.restore(resume, tree)
         params, norm_state, opt_state = tree["params"], tree["norm_state"], tree["opt_state"]
-        start_epoch = int(meta["epoch"]) + 1
-        plateau.lr = float(meta["lr"])
-        plateau.best = float(meta["plateau_best"])
-        plateau.num_bad = int(meta.get("plateau_num_bad", 0))
-        stopper.best = float(meta["stop_best"])
-        stopper.num_bad = int(meta.get("stop_num_bad", 0))
+        start_epoch = _restore_scheduler_state(meta, plateau, stopper)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
     final_nmse = float("nan")
@@ -346,10 +349,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
             f"lr {plateau.lr * lr_factor:.2e}"
         )
         stop = stopper.step(va_final)
-        meta = {"epoch": epoch, "valid_loss": va_final, "lr": plateau.lr,
-                "plateau_best": plateau.best, "plateau_num_bad": plateau.num_bad,
-                "stop_best": stopper.best, "stop_num_bad": stopper.num_bad,
-                "current_iterations": K}
+        meta = _ckpt_meta(epoch, va_final, plateau, stopper, current_iterations=K)
         tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
         if stopper.improved:
             ckpt.save(os.path.join(out_dir, "best"), tree, meta)
@@ -449,10 +449,7 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
         tree, meta = ckpt.restore(resume, tree)
         params, norm_state, opt_state = tree["params"], tree["norm_state"], tree["opt_state"]
-        start_epoch = int(meta["epoch"]) + 1
-        plateau.lr = float(meta["lr"])
-        plateau.best = float(meta["plateau_best"])
-        stopper.best = float(meta["stop_best"])
+        start_epoch = _restore_scheduler_state(meta, plateau, stopper)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
     best_params = params
@@ -482,9 +479,7 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         log.cprint(f"epoch {epoch + 1}/{cfg.num_epochs} | train {tr_loss:.5f} | "
                    f"valid {va_loss:.5f} | lr {plateau.lr:.2e}")
         stop = stopper.step(va_loss)
-        meta = {"epoch": epoch, "valid_loss": va_loss, "lr": plateau.lr,
-                "plateau_best": plateau.best, "plateau_num_bad": plateau.num_bad,
-                "stop_best": stopper.best, "stop_num_bad": stopper.num_bad}
+        meta = _ckpt_meta(epoch, va_loss, plateau, stopper)
         tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
         if stopper.improved:
             best_params = params
