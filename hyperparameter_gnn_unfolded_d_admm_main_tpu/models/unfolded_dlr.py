@@ -66,10 +66,17 @@ def unroll_table(
     y: jax.Array,             # [B, P, 1]
     adj: jax.Array,           # [B, P, P]
     remat: bool = True,
+    neighbor_fn=None,
 ) -> Tuple[DLRState, jax.Array]:
     """Scan K dlr iterations; returns (final state, per-iteration per-agent MSE [K,P])
-    where the MSE is of the prediction a.x + w against y."""
+    where the MSE is of the prediction a.x + w against y.
+
+    neighbor_fn(v) -> sum over graph neighbors; defaults to the dense local einsum.
+    Sharded callers (parallel/unfolded_sharded.make_sharded_dlr_unroll) substitute a
+    collective schedule — `adj` then holds only the local agent ROWS [B, Pl, P]."""
     deg = jnp.sum(adj, axis=-1)[..., None]   # [B, P, 1]
+    if neighbor_fn is None:
+        neighbor_fn = lambda v: _neighbor_sum(adj, v)
 
     def body(carry, xs):
         st, k = carry, xs[0]
@@ -82,8 +89,8 @@ def unroll_table(
         beta = hyp_k[None, :, 5:6]
         c = dadmm_core.unfolded_clamps(k)
         a, w, mu, lamda = st
-        sum_a = _neighbor_sum(adj, a)
-        sum_w = _neighbor_sum(adj, w)
+        sum_a = neighbor_fn(a)
+        sum_w = neighbor_fn(w)
         xta = jnp.sum(x * a, axis=-1, keepdims=True)   # [B,P,1]
         g_a = x * xta + x * w - x * y + rho * deg * a + deg * mu - rho * sum_a
         g_w = xta + w - y + delt * deg * w + deg * lamda - delt * sum_w
@@ -91,8 +98,8 @@ def unroll_table(
         g_w = jnp.clip(g_w, -c.grad, c.grad)
         a = jnp.clip(a - alpha * g_a, -c.value, c.value)
         w = jnp.clip(w - beta * g_w, -c.value, c.value)
-        sum_a = _neighbor_sum(adj, a)
-        sum_w = _neighbor_sum(adj, w)
+        sum_a = neighbor_fn(a)
+        sum_w = neighbor_fn(w)
         mu = jnp.clip(mu + eta * (deg * a - sum_a), -c.dual, c.dual)
         lamda = jnp.clip(lamda + gamma * (deg * w - sum_w), -c.dual, c.dual)
         nxt = DLRState(a=a, w=w, mu=mu, lamda=lamda)

@@ -27,24 +27,20 @@ from jax import lax
 from .mesh import AGENT_AXIS
 
 
-def consensus_allgather(adj_rows: jax.Array, y_local: jax.Array,
-                        axis_name: str = AGENT_AXIS) -> jax.Array:
-    """adj_rows [B, Pl, P] (local rows of the full adjacency), y_local [B, Pl, n].
-
-    all_gather the agent blocks -> y_full [B, P, n], then one local einsum.
-    """
+def neighbor_sum_allgather(adj_rows: jax.Array, y_local: jax.Array,
+                           axis_name: str = AGENT_AXIS) -> jax.Array:
+    """`sum_q adj[p,q] y_q` for local agent rows: adj_rows [B, Pl, P], y_local
+    [B, Pl, n] -> [B, Pl, n]. all_gather the agent blocks, one local einsum."""
     # gathered axis is inserted at axis 0: [s, B, Pl, n] -> [B, s*Pl, n]
     y_all = lax.all_gather(y_local, axis_name, axis=0)
     s, B, Pl, n = y_all.shape
     y_full = jnp.moveaxis(y_all, 0, 1).reshape(B, s * Pl, n)
-    deg = jnp.sum(adj_rows, axis=-1)                        # [B, Pl]
-    neigh = jnp.einsum("bpq,bqn->bpn", adj_rows, y_full)    # [B, Pl, n]
-    return 2.0 * (deg[..., None] * y_local - neigh)
+    return jnp.einsum("bpq,bqn->bpn", adj_rows, y_full)
 
 
-def consensus_ppermute(adj_rows: jax.Array, y_local: jax.Array, num_shards: int,
-                       axis_name: str = AGENT_AXIS) -> jax.Array:
-    """Ring-rotation halo exchange version of `consensus_allgather`.
+def neighbor_sum_ppermute(adj_rows: jax.Array, y_local: jax.Array, num_shards: int,
+                          axis_name: str = AGENT_AXIS) -> jax.Array:
+    """Ring-rotation halo-exchange version of `neighbor_sum_allgather`.
 
     adj_rows [B, Pl, P] is laid out in global agent order; shard i owns global rows
     [i*Pl, (i+1)*Pl). At ring step t the visiting block holds the y-rows of shard
@@ -55,8 +51,6 @@ def consensus_ppermute(adj_rows: jax.Array, y_local: jax.Array, num_shards: int,
     s = num_shards
     idx = lax.axis_index(axis_name)
     B, Pl, n = y_local.shape
-    deg = jnp.sum(adj_rows, axis=-1)
-
     acc = jnp.zeros_like(y_local)
     y_vis = y_local
     perm = [((j + 1) % s, j) for j in range(s)]  # block travels to the left neighbor
@@ -66,4 +60,20 @@ def consensus_ppermute(adj_rows: jax.Array, y_local: jax.Array, num_shards: int,
         acc = acc + jnp.einsum("bpq,bqn->bpn", blk, y_vis)
         if t + 1 < s:
             y_vis = lax.ppermute(y_vis, axis_name, perm)
-    return 2.0 * (deg[..., None] * y_local - acc)
+    return acc
+
+
+def consensus_allgather(adj_rows: jax.Array, y_local: jax.Array,
+                        axis_name: str = AGENT_AXIS) -> jax.Array:
+    """delta = 2*(deg*y - adj@y) for local agent rows, all_gather schedule."""
+    deg = jnp.sum(adj_rows, axis=-1)                        # [B, Pl]
+    neigh = neighbor_sum_allgather(adj_rows, y_local, axis_name)
+    return 2.0 * (deg[..., None] * y_local - neigh)
+
+
+def consensus_ppermute(adj_rows: jax.Array, y_local: jax.Array, num_shards: int,
+                       axis_name: str = AGENT_AXIS) -> jax.Array:
+    """delta = 2*(deg*y - adj@y) for local agent rows, ppermute-ring schedule."""
+    deg = jnp.sum(adj_rows, axis=-1)
+    neigh = neighbor_sum_ppermute(adj_rows, y_local, num_shards, axis_name)
+    return 2.0 * (deg[..., None] * y_local - neigh)

@@ -114,3 +114,63 @@ def make_sharded_unroll(
         check_vma=False,
     )
     return jax.jit(shard_fn)
+
+
+def make_sharded_dlr_unroll(
+    mesh: Mesh,
+    schedule: str = "allgather",
+    remat: bool = True,
+):
+    """Agent/data-sharded unfolded dlr solver (beyond-reference family —
+    models/unfolded_dlr.py): build a jitted
+    `(state, hyp_table, x, y, adj) -> (final state, per_kp [K, P])` over `mesh`.
+
+    State fields a/w/mu/lamda and the observations x/y shard [B, P, ...] over
+    (data, agents); the dlr's neighbor sums (`sum_N(a)`, `sum_N(w)`) become the
+    plain neighbor-sum collectives (`consensus.neighbor_sum_*`). Per-agent MSEs are
+    psum-averaged over the data axis and gathered over agents so every device
+    returns the same [K, P].
+    """
+    from ..models import unfolded_dlr
+
+    n_agent_shards = mesh.shape[AGENT_AXIS]
+    if schedule == "allgather":
+        nsum = consensus_lib.neighbor_sum_allgather
+    elif schedule == "ppermute":
+        nsum = functools.partial(
+            consensus_lib.neighbor_sum_ppermute, num_shards=n_agent_shards
+        )
+    else:
+        raise ValueError(f"unknown consensus schedule {schedule!r}")
+
+    state_spec = unfolded_dlr.DLRState(
+        a=P(DATA_AXIS, AGENT_AXIS), w=P(DATA_AXIS, AGENT_AXIS),
+        mu=P(DATA_AXIS, AGENT_AXIS), lamda=P(DATA_AXIS, AGENT_AXIS),
+    )
+
+    def local_unroll(state, hyp_table, x, y, adj_rows):
+        st, per_kp = unfolded_dlr.unroll_table(
+            state, hyp_table, x, y, adj_rows, remat=remat,
+            neighbor_fn=lambda v: nsum(adj_rows, v),
+        )
+        # per_kp is the local agents' MSE over the LOCAL batch shard: average over
+        # the data axis, then gather agent blocks so outputs are replicated.
+        per_kp = lax.pmean(per_kp, DATA_AXIS)
+        per_kp = lax.all_gather(per_kp, AGENT_AXIS, axis=1)    # [K, s, Pl]
+        per_kp = per_kp.reshape(per_kp.shape[0], -1)           # [K, P]
+        return st, per_kp
+
+    shard_fn = jax.shard_map(
+        local_unroll,
+        mesh=mesh,
+        in_specs=(
+            state_spec,
+            P(None, AGENT_AXIS),             # hyp_table [K, P, 6]
+            P(DATA_AXIS, AGENT_AXIS),        # x [B, P, d]
+            P(DATA_AXIS, AGENT_AXIS),        # y [B, P, 1]
+            P(DATA_AXIS, AGENT_AXIS, None),  # adj rows
+        ),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)

@@ -156,3 +156,26 @@ def test_sharded_unroll_factored_and_bf16(rng):
 
     with pytest.raises(ValueError):
         unfolded_sharded.make_sharded_unroll(mesh, gram_mode="auto")
+
+
+def test_sharded_dlr_unroll_matches_dense(rng):
+    """The agent/data-sharded dlr solver (collective neighbor sums) reproduces the
+    dense single-device unroll, both consensus schedules."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import unfolded_dlr
+
+    mesh = _mesh()
+    B, Pn, d, K = 4, 8, 6, 4
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, Pn, 0.5))
+    x = jnp.asarray(rng.standard_normal((B, Pn, d)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, Pn, 1)).astype(np.float32))
+    hyp = jnp.asarray(rng.uniform(0.01, 0.2, size=(K, Pn, 6)).astype(np.float32))
+    st = unfolded_dlr.init_state(jax.random.key(0), B, Pn, d)
+    st_dense, per_dense = unfolded_dlr.unroll_table(st, hyp, x, y, adj)
+
+    for schedule in ("allgather", "ppermute"):
+        unroll = unfolded_sharded.make_sharded_dlr_unroll(mesh, schedule=schedule)
+        st_sh, per_sh = unroll(st, hyp, x, y, adj)
+        np.testing.assert_allclose(np.asarray(st_sh.a), np.asarray(st_dense.a),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(per_sh), np.asarray(per_dense),
+                                   rtol=2e-4, atol=2e-4)
