@@ -1,0 +1,13 @@
+"""Solver cores. Import the heavy modules lazily via attribute access if preferred;
+these are the stable public entry points."""
+
+from . import dadmm_core, seq_hyperparam
+from .classic import DADMMLASSOClassic, DADMMLRClassic
+from .gnn_hypernet import DLASSOGNNHyp
+from .unfolded import UnfoldedDLASSO
+from .unfolded_dlr import DLRGNNHyp, UnfoldedDLR
+
+__all__ = [
+    "dadmm_core", "seq_hyperparam", "DADMMLASSOClassic", "DADMMLRClassic",
+    "DLASSOGNNHyp", "UnfoldedDLASSO", "DLRGNNHyp", "UnfoldedDLR",
+]
