@@ -19,6 +19,9 @@ from ..utils.platform import select_device
 
 def main(argv=None):
     cfg = args_parser(argv)
+    if cfg.resume:
+        raise SystemExit("--resume is not supported by this driver (supported: "
+                         "unfolded_train_new, gnn_progressive, unfolded_dlr)")
     select_device(cfg.device)
     out_dir = timestamped_dir(cfg.save_dir, "dlr_classic")
 

@@ -64,8 +64,14 @@ def main(argv=None):
     from ..train import losses
     from ..utils import checkpoint as ckpt
 
-    if os.path.basename(os.path.normpath(run_dir)).endswith("unfolded_dlr"):
+    # Family dispatch: args.json's `case` (recorded by the dlr loop); directory-name
+    # suffix kept as a fallback for run dirs saved before `case` was recorded.
+    if cfg.case == "dlr" or os.path.basename(os.path.normpath(run_dir)).endswith("unfolded_dlr"):
         # dlr family: no sensing matrix; regenerate regression data from the config.
+        if cfg.mesh_data * cfg.mesh_agents > 1 or cfg.dtype != "float32":
+            print("note: dlr evaluation currently serves dense float32 — "
+                  "--mesh_data/--mesh_agents/--dtype are ignored for this family",
+                  file=sys.stderr)
         from ..models.unfolded_dlr import DLRGNNHyp, UnfoldedDLR
 
         key = jax.random.key(int(cfg.seed) + 12345)

@@ -1,5 +1,4 @@
-"""Solver cores. Import the heavy modules lazily via attribute access if preferred;
-these are the stable public entry points."""
+"""Solver cores: the stable public entry points for library users."""
 
 from . import dadmm_core, seq_hyperparam
 from .classic import DADMMLASSOClassic, DADMMLRClassic

@@ -106,9 +106,15 @@ def _apply_encoder(
     return x.reshape(B, -1), state
 
 
-def _init_decoder(key: jax.Array, P: int, hidden: int, out_dim: int, dtype) -> dict:
+def _init_decoder(key: jax.Array, P: int, hidden: int, out_dim: int, dtype,
+                  bias_init=None) -> dict:
     """3-layer MLP P*4h -> 4h -> 2h -> h with LayerNorm (reference `:93-106`), plus the
-    fc head with xavier(gain=0.1) and the conservative bias init (reference `:108-123`)."""
+    fc head with xavier(gain=0.1) and the conservative bias init (reference `:108-123`).
+
+    bias_init: full-length [out_dim] fc-bias vector for non-LASSO heads. When None,
+    the reference's LASSO behavior is kept: only flat entries 0..3 are set (which in
+    'diff' mode land on agent 0..3's first hyperparameter — faithful to
+    `gnn_dlasso_models_progressive.py:118-123`)."""
     dims = [P * 4 * hidden, 4 * hidden, 2 * hidden, hidden]
     keys = jax.random.split(key, 4)
     layers = []
@@ -123,9 +129,12 @@ def _init_decoder(key: jax.Array, P: int, hidden: int, out_dim: int, dtype) -> d
             "ln_bias": jnp.zeros((fan_out,), dtype),
         })
     fc_w = gcn.xavier_uniform(keys[3], hidden, out_dim, gain=0.1, dtype=dtype)
-    fc_b = jnp.zeros((out_dim,), dtype)
-    # Conservative start (reference `:118-123`): only the first 4 bias entries are set.
-    fc_b = fc_b.at[0].set(-0.5).at[1].set(-1.0).at[2].set(-0.8).at[3].set(-1.2)
+    if bias_init is not None:
+        fc_b = jnp.asarray(bias_init, dtype)
+    else:
+        fc_b = jnp.zeros((out_dim,), dtype)
+        # Conservative start (reference `:118-123`): only the first 4 entries are set.
+        fc_b = fc_b.at[0].set(-0.5).at[1].set(-1.0).at[2].set(-0.8).at[3].set(-1.2)
     return {"layers": layers, "fc": {"w": fc_w, "b": fc_b}}
 
 

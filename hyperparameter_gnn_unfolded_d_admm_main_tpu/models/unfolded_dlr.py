@@ -186,7 +186,15 @@ class DLRGNNHyp:
         enc, enc_state = self._gh._init_encoder(
             k_enc, 2 * self.d + 2, self.hidden, jnp.float32, self.cfg.encoder_type
         )
-        dec = self._gh._init_decoder(k_dec, self.P, self.hidden, self.out_dim, jnp.float32)
+        # Conservative fc-bias start for the 6-hyperparameter head, laid out to match
+        # the (B, 6, Pp) reshape: each head's value repeats across its agent block
+        # (penalty-ish rho/delta -0.8, step sizes alpha/beta -0.5, dual steps
+        # eta/gamma -1.2) — the dlr analogue of the reference's LASSO-only init.
+        Pp = 1 if self.mode == "same" else self.P
+        head_bias = jnp.asarray([-0.8, -0.5, -0.8, -1.2, -1.2, -0.5], jnp.float32)
+        bias_init = jnp.repeat(head_bias, Pp)
+        dec = self._gh._init_decoder(k_dec, self.P, self.hidden, self.out_dim,
+                                     jnp.float32, bias_init=bias_init)
         return {"encoder": enc, "decoder": dec}, enc_state
 
     def apply_losses(

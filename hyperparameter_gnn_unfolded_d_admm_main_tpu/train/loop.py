@@ -492,7 +492,9 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
     csv.write(os.path.join(out_dir, "losses.csv"))
     plots.plot_losses(out_dir, csv.column("train_loss"), csv.column("valid_loss"),
                       epochs=csv.column("epoch"))
-    save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
+    # Record the problem family in the saved config so evaluate dispatches on data,
+    # not on the run-directory name.
+    save_json(os.path.join(out_dir, "args.json"), cfg.replace(case="dlr").__dict__)
     log.cprint(f"best valid loss: {stopper.best:.6f}")
     return {
         "best_valid_loss": stopper.best,
