@@ -2,11 +2,11 @@
 
 from . import dadmm_core, seq_hyperparam
 from .classic import DADMMLASSOClassic, DADMMLRClassic
-from .gnn_hypernet import DLASSOGNNHyp
+from .gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
 from .unfolded import UnfoldedDLASSO
 from .unfolded_dlr import DLRGNNHyp, UnfoldedDLR
 
 __all__ = [
     "dadmm_core", "seq_hyperparam", "DADMMLASSOClassic", "DADMMLRClassic",
-    "DLASSOGNNHyp", "UnfoldedDLASSO", "DLRGNNHyp", "UnfoldedDLR",
+    "DLASSOGNNHyp", "DLASSOGNNHypOneShot", "UnfoldedDLASSO", "DLRGNNHyp", "UnfoldedDLR",
 ]

@@ -154,6 +154,130 @@ class GNNHypOutput(NamedTuple):
     state: dict            # updated batch-norm running stats
 
 
+class DLASSOGNNHypOneShot(object):
+    """One-shot GNN hypernetwork: the whole `[K, Pp, 4]` hyperparameter table from a
+    SINGLE graph-conditioned GNN evaluation, then a plain table-driven unroll.
+
+    Re-design of the reference's first hypernetwork generation
+    (`old code/gnn_dlasso_models.py:9-160`): MLP encoder on the per-agent observations
+    -> 2 GCN layers -> global mean pool -> MLP head emitting the full table, with the
+    cumulative-sum-over-K parameterization of `:43` (later iterations are learned
+    offsets), sigmoid + cap scaling as in `models/seq_hyperparam.py`.
+
+    Capability tier between the scalar table (graph-independent) and the flagship
+    state-conditioned model (K GNN evaluations per forward): topology-adaptive but ONE
+    hypernetwork call per solve — on TPU the unroll itself then runs at table-tier
+    speed, which is the serving-relevant point of this design. Because the table is
+    cumsum-parameterized along K, truncating to the progressive schedule's K is exactly
+    the table of the truncated problem (prefix property), so the same progressive
+    trainer drives it (select with `--hyp_mode GHyp1`).
+    """
+
+    def __init__(self, A: jax.Array, cfg: Config):
+        self.A = A
+        self.AtA = sensing.gram(A)
+        self.gram_fn = dadmm_core.make_gram_fn(self.AtA, A, cfg.gram_mode)
+        self.solver_dtype = cfg.dtype if cfg.dtype != "float32" else None
+        self.P, self.m, self.n = A.shape
+        self.K = cfg.GHN_iter_num
+        self.hidden = int(cfg.GHyp_hidden)
+        self.mode = cfg.DADMM_mode
+        self.cfg = cfg
+        self.Pp = 1 if cfg.DADMM_mode == "same" else self.P
+        self.maxes = jnp.asarray(
+            [cfg.alpha_max, cfg.tau_max, cfg.rho_max, cfg.eta_max], dtype=A.dtype
+        )
+
+    def init(self, key: jax.Array) -> Tuple[dict, dict]:
+        h, dt = self.hidden, self.A.dtype
+        ks = jax.random.split(key, 6)
+        dense = lambda k, i, o: {
+            "w": gcn.xavier_uniform(k, i, o, dtype=dt), "b": jnp.zeros((o,), dt)
+        }
+        params = {
+            # per-agent observation encoder (reference v1 flattens b into an MLP,
+            # `old code/gnn_dlasso_models.py:36-38`)
+            "enc": [dense(ks[0], self.m, h), dense(ks[1], h, h)],
+            # 2 graph-conv layers (v1 `:39-40`), batched norm-adjacency matmuls
+            "convs": [dense(ks[2], h, 2 * h), dense(ks[3], 2 * h, 2 * h)],
+            # pooled head -> full table; gain 0.1 + zero bias => sigmoid(~0)*max start,
+            # same conservative magnitude as the zero-init scalar table
+            "head": [
+                dense(ks[4], 2 * h, 4 * h),
+                {
+                    "w": gcn.xavier_uniform(ks[5], 4 * h, self.K * self.Pp * 4,
+                                            gain=0.1, dtype=dt),
+                    "b": jnp.zeros((self.K * self.Pp * 4,), dt),
+                },
+            ],
+        }
+        return params, {}
+
+    def table(self, params: dict, b: jax.Array, adj: jax.Array,
+              K: Optional[int] = None) -> jax.Array:
+        """Per-sample hyperparameter table `[B, K, Pp, 4]` from one GNN evaluation."""
+        K = self.K if K is None else int(K)
+        B = b.shape[0]
+        x = b
+        for lyr in params["enc"]:
+            x = gcn.leaky_relu(x @ lyr["w"] + lyr["b"])          # [B,P,h]
+        norm_adj = graph_ops.gcn_norm_adj(adj)
+        for lyr in params["convs"]:
+            x = gcn.leaky_relu(gcn.gcn_layer(norm_adj, x, lyr["w"], lyr["b"]))
+        pooled = jnp.mean(x, axis=1)                              # global mean pool (v1 `:41`)
+        h = gcn.leaky_relu(pooled @ params["head"][0]["w"] + params["head"][0]["b"])
+        raw = h @ params["head"][1]["w"] + params["head"][1]["b"]
+        raw = raw.reshape(B, self.K, self.Pp, 4)[:, :K]
+        # cumsum over K (v1 `:43`) + sigmoid/cap as in seq_hyperparam.hyp_table
+        table = jax.nn.sigmoid(jnp.cumsum(raw, axis=1)) * self.maxes
+        return jnp.clip(table, 1e-4, 0.99)
+
+    def _unroll(self, params, key, b, adj, K, with_losses, label=None):
+        B = b.shape[0]
+        Atb = sensing.At_apply(self.A, b)
+        deg = graph_ops.degrees(adj)
+        table = self.table(params, b, adj, K)                     # [B,K,Pp,4]
+        table_k = jnp.moveaxis(table, 1, 0)                       # scan xs: [K,B,Pp,4]
+        st0 = dadmm_core.init_state(key, B, self.P, self.n, dtype=b.dtype)
+        st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
+        nan_guard = self.cfg.nan_guard
+
+        def body(st, xs):
+            k, hyp_k = xs                                         # hyp_k [B,Pp,4]
+            AtAy = self.gram_fn(st.y)
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, deg,
+                hyp_k[..., 0:1], hyp_k[..., 1:2], hyp_k[..., 2:3], hyp_k[..., 3:4],
+                dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
+            )
+            if with_losses:
+                diff = (nxt.y - label[:, None, :]).astype(jnp.float32)
+                return nxt, jnp.mean(diff * diff, axis=(0, 2))    # [P]
+            return nxt, nxt.y
+
+        if self.cfg.remat:
+            body = jax.checkpoint(body)
+        ks = jnp.arange(table_k.shape[0], dtype=jnp.int32)
+        _, out = jax.lax.scan(body, st0, (ks, table_k))
+        hyp_last = tuple(table_k[-1][..., i:i + 1] for i in range(4))
+        return out, hyp_last
+
+    def apply(self, params, state, key, b, adj,
+              training_iterations: Optional[int] = None, training: bool = True):
+        del training  # no dropout/batch-norm in this tier (v1 has none either)
+        K = self.K if training_iterations is None else int(training_iterations)
+        Y, hyp_last = self._unroll(params, key, b, adj, K, with_losses=False)
+        return GNNHypOutput(Y=Y, hyp_last=hyp_last, state=state)
+
+    def apply_losses(self, params, state, key, b, adj, label,
+                     training_iterations: Optional[int] = None, training: bool = True):
+        del training
+        K = self.K if training_iterations is None else int(training_iterations)
+        per_kp, hyp_last = self._unroll(params, key, b, adj, K,
+                                        with_losses=True, label=label)
+        return per_kp, hyp_last, state
+
+
 class DLASSOGNNHyp(object):
     """Progressive GNN-hypernetwork D-ADMM model (flagship)."""
 

@@ -32,7 +32,7 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..models.gnn_hypernet import DLASSOGNNHyp
+from ..models.gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
 from ..models.unfolded import UnfoldedDLASSO
 from ..ops import data as data_ops
 from ..ops import graphs, sensing
@@ -213,7 +213,10 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     b_tr, y_tr = data_ops.make_dataset(k_data_tr, A, cfg.train_size, cfg.snr, noise=cfg.data_noise)
     b_va, y_va = data_ops.make_dataset(k_data_va, A, cfg.test_size, cfg.snr, noise=cfg.data_noise)
 
-    model = DLASSOGNNHyp(A, cfg)
+    # --hyp_mode GHyp1 selects the one-shot tier (table emitted by ONE GNN evaluation,
+    # archive v1 design); default is the state-conditioned flagship.
+    model_cls = DLASSOGNNHypOneShot if cfg.hyp_mode == "GHyp1" else DLASSOGNNHyp
+    model = model_cls(A, cfg)
     params, norm_state = model.init(k_model)
     tx = optim.make_optimizer("adamw", cfg.lr, weight_decay=1e-5, clip_norm=100.0)
     opt_state = tx.init(params)

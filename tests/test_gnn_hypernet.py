@@ -142,6 +142,103 @@ def test_fc_bias_conservative_init(rng):
     assert np.all(fcb[4:] == 0)
 
 
+# ------------------------------------------------------------------ one-shot tier
+
+
+def _setup_oneshot(rng, P=4, m=10, n=12, hidden=8, B=3, K=4, mode="diff"):
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import (
+        DLASSOGNNHypOneShot,
+    )
+
+    cfg = Config(P=P, m=m, n=n, GHyp_hidden=hidden, GHN_iter_num=K, DADMM_mode=mode,
+                 hyp_mode="GHyp1")
+    A = sensing.set_A(jax.random.key(0), P, m, n)
+    model = DLASSOGNNHypOneShot(A, cfg)
+    params, state = model.init(jax.random.key(1))
+    b, y = data_ops.make_dataset(jax.random.key(2), A, B)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, P, 0.6))
+    return cfg, model, params, state, b, y, adj
+
+
+def test_oneshot_forward_shapes_and_table_bounds(rng):
+    cfg, model, params, state, b, y, adj = _setup_oneshot(rng)
+    out = model.apply(params, state, jax.random.key(3), b, adj)
+    assert out.Y.shape == (4, 3, 4, 12)
+    assert np.isfinite(np.asarray(out.Y)).all()
+    table = np.asarray(model.table(params, b, adj))
+    assert table.shape == (3, 4, 4, 4)  # [B, K, Pp, 4]
+    maxes = np.asarray([cfg.alpha_max, cfg.tau_max, cfg.rho_max, cfg.eta_max])
+    assert (table >= 1e-4 - 1e-9).all()
+    assert (table <= np.minimum(maxes, 0.99) + 1e-6).all()
+
+
+def test_oneshot_table_prefix_property(rng):
+    """cumsum-over-K parameterization: the truncated-K table is exactly the prefix of
+    the full-K table, so progressive training reuses learned early iterations."""
+    cfg, model, params, state, b, y, adj = _setup_oneshot(rng, K=6)
+    full = np.asarray(model.table(params, b, adj, K=6))
+    trunc = np.asarray(model.table(params, b, adj, K=3))
+    np.testing.assert_allclose(trunc, full[:, :3], rtol=1e-6)
+    out = model.apply(params, state, jax.random.key(3), b, adj, training_iterations=2)
+    assert out.Y.shape[0] == 2
+
+
+def test_oneshot_table_is_graph_conditioned(rng):
+    """Different topologies must produce different tables (the point of the tier —
+    vs the graph-independent scalar table)."""
+    cfg, model, params, state, b, y, adj = _setup_oneshot(rng, B=2, P=5)
+    adj2 = jnp.asarray(graphs.sample_connected_er(rng, 2, 5, 0.3))
+    # Train a couple of steps first so the head isn't at its symmetric init.
+    import optax
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses as L
+
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+    for _ in range(3):
+        def loss_fn(p):
+            per_kp, _, _ = model.apply_losses(p, state, jax.random.key(4), b, adj, y)
+            return L.losses_from_per_kp(per_kp)[1]
+        g = jax.grad(loss_fn)(params)
+        upd, opt = tx.update(g, opt, params)
+        params = optax.apply_updates(params, upd)
+    t1 = np.asarray(model.table(params, b, adj))
+    t2 = np.asarray(model.table(params, b, adj2))
+    assert np.abs(t1 - t2).max() > 1e-6
+
+
+def test_oneshot_apply_losses_matches_full_Y(rng):
+    cfg, model, params, state, b, y, adj = _setup_oneshot(rng)
+    key = jax.random.key(9)
+    out = model.apply(params, state, key, b, adj)
+    lf_slow = losses.compute_loss(out.Y, y)[1]
+    per_kp, hyp, _ = model.apply_losses(params, state, key, b, adj, y)
+    lf_fast = losses.losses_from_per_kp(per_kp)[1]
+    np.testing.assert_allclose(float(lf_slow), float(lf_fast), rtol=1e-6)
+
+
+def test_oneshot_training_reduces_loss(rng):
+    import optax
+    cfg, model, params, state, b, y, adj = _setup_oneshot(rng, B=8, K=6)
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        per_kp, _, _ = model.apply_losses(p, state, jax.random.key(4), b, adj, y)
+        return losses.losses_from_per_kp(per_kp)[1]
+
+    @jax.jit
+    def step(p, o):
+        g = jax.grad(loss_fn)(p)
+        upd, o = tx.update(g, o, p)
+        return optax.apply_updates(p, upd), o
+
+    l0 = float(loss_fn(params))
+    for _ in range(25):
+        params, opt = step(params, opt)
+    l1 = float(loss_fn(params))
+    assert l1 < l0
+
+
 def test_gnn_bf16_solver_state(rng):
     """cfg.dtype='bfloat16' is honored by the GNN model too: Y comes back bf16 and
     stays finite/close to the f32 run on a tiny problem (same params, same keys)."""
