@@ -111,6 +111,11 @@ class Config:
     profile: bool = False              # capture a jax.profiler trace of the first
                                        # post-compile training epoch into <run>/trace
     tensorboard: bool = False          # also emit TensorBoard scalars (<run>/tb)
+    native_prefetch: bool = True       # overlap per-batch topology sampling with
+                                       # device execution via the C++ pipeline
+                                       # (native/pipeline.cc); bitwise-identical
+                                       # topologies to the synchronous native path,
+                                       # silently off when the .so is not built
     encoder_type: str = "gcn"          # hypernetwork encoder: {'gcn', 'mpnn',
                                        # 'attention'} — gcn is the reference's live
                                        # design; mpnn/attention cover its archived

@@ -56,6 +56,29 @@ def _fresh_graph_batch(seed: int, batch: int, P: int, prob: float,
     `gnn_dlasso_progressive.py:181-191`)."""
     return jnp.asarray(graphs.sample_graph_batch(seed, batch, P, graph_type, max(prob, 0.3)))
 
+def _make_graph_source(cfg: Config, batch: int):
+    """Per-step fresh-topology source for the progressive trainer: `(get, close)`.
+
+    When the native pipeline is built and the topology family is Erdos-Renyi,
+    `get(seed)` pops batches prefetched by C++ worker threads (sampling for the next
+    steps overlaps the TPU executing this one); output is bitwise-identical to the
+    synchronous native path for the same seed (`ops/native_pipeline.py`). Otherwise
+    falls back to synchronous `_fresh_graph_batch`.
+    """
+    if cfg.native_prefetch and cfg.graph_type in ("erods_renyi", "erdos_renyi"):
+        from ..ops import native_pipeline
+
+        if native_pipeline.available():
+            pf = native_pipeline.SequentialGraphPrefetcher(
+                batch, cfg.P, max(cfg.graph_prob, 0.3), depth=4
+            )
+            return (lambda seed: jnp.asarray(pf.get(seed))), pf.close
+    return (
+        lambda seed: _fresh_graph_batch(seed, batch, cfg.P, cfg.graph_prob, cfg.graph_type),
+        lambda: None,
+    )
+
+
 def _restore_scheduler_state(meta: dict, plateau, stopper) -> int:
     """Shared resume plumbing: restore LR-scheduler and early-stop state from a
     checkpoint's metadata; returns the epoch to resume from."""
@@ -292,6 +315,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         start_epoch = _restore_scheduler_state(meta, plateau, stopper)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
+    graph_get, graph_close = _make_graph_source(cfg, cfg.batch_size)
     final_nmse = float("nan")
     K = cfg.min_iterations
     iters_hist = []
@@ -306,7 +330,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         tr_mean, tr_final, nb = 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
             graph_seed += 1
-            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob, cfg.graph_type)
+            adj = graph_get(graph_seed)
             key, kstep = jax.random.split(key)
             with timer:
                 params, norm_state, opt_state, lm, lf, hyp = train_step(
@@ -330,7 +354,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         va_mean, va_final, va_nmse, nb = 0.0, 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_va, y_va, cfg.batch_size):
             graph_seed += 1
-            adj = _fresh_graph_batch(graph_seed, b.shape[0], cfg.P, cfg.graph_prob, cfg.graph_type)
+            adj = graph_get(graph_seed)
             key, kstep = jax.random.split(key)
             lm, lf, nm = eval_step(params, norm_state, kstep, (b, y, adj), K)
             va_mean += float(lm)
@@ -361,6 +385,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
             log.cprint(f"early stopping at epoch {epoch + 1}")
             break
 
+    graph_close()  # joins the C++ prefetch workers (exception paths: __del__ backstop)
     train_csv.write(os.path.join(out_dir, "train_losses.csv"))
     valid_csv.write(os.path.join(out_dir, "valid_losses.csv"))
     plots.plot_training_summary(
