@@ -58,7 +58,7 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from ..models.gnn_hypernet import DLASSOGNNHyp
+    from ..models.gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
     from ..models.unfolded import UnfoldedDLASSO
     from ..ops import data as data_ops, graphs
     from ..train import losses
@@ -110,7 +110,11 @@ def main(argv=None):
     k_data, k_state = jax.random.split(key)
     b, y = data_ops.make_dataset(k_data, A, test_size, cfg.snr, noise=cfg.data_noise)
 
-    is_gnn = os.path.basename(os.path.normpath(run_dir)).endswith("progressive")
+    # GNN-family detection: the progressive loop records its tier in args.json
+    # (hyp_mode 'GHyp' = state-conditioned flagship, 'GHyp1' = one-shot table);
+    # directory-name suffix kept as a fallback for runs saved before that.
+    is_gnn = cfg.hyp_mode in ("GHyp", "GHyp1") or os.path.basename(
+        os.path.normpath(run_dir)).endswith("progressive")
     if is_gnn:
         # GNN runs train on fresh per-sample connected graphs; evaluate likewise.
         adj = jnp.asarray(
@@ -126,7 +130,8 @@ def main(argv=None):
         adj = jnp.broadcast_to(jnp.asarray(one), (test_size, cfg.P, cfg.P))
     ckpt_dir = os.path.join(run_dir, ckpt_name)
     if is_gnn:
-        model = DLASSOGNNHyp(A, cfg)
+        model_cls = DLASSOGNNHypOneShot if cfg.hyp_mode == "GHyp1" else DLASSOGNNHyp
+        model = model_cls(A, cfg)
         params, norm_state = model.init(jax.random.key(0))
         tree, meta = ckpt.restore_partial(
             ckpt_dir, {"params": params, "norm_state": norm_state}

@@ -395,7 +395,10 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     plots.plot_iteration_progression(out_dir, iters_hist, epoch_offset=start_epoch)
     tb.close()
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
-    save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
+    # Normalize the recorded tier so evaluate dispatches on config, not on the run
+    # directory name (reference semantics: hyp_mode 'GHyp' = GNN hypernetwork).
+    fam = cfg.hyp_mode if cfg.hyp_mode in ("GHyp", "GHyp1") else "GHyp"
+    save_json(os.path.join(out_dir, "args.json"), cfg.replace(hyp_mode=fam).__dict__)
     log.cprint(f"best valid loss: {stopper.best:.6f}")
     return {
         "best_valid_loss": stopper.best,

@@ -29,7 +29,12 @@ def lr_factor_for_iterations(
     if current_iterations < max_iterations:
         return 1.0
     max_iter_epoch = int(total_epochs * 0.75)
-    epochs_at_max = epoch - max_iter_epoch + 1
+    # Clamped to >= 1: when min_iterations == max_iterations the schedule is at max K
+    # from epoch 0, long before the 75% mark, and the raw `epoch - max_iter_epoch + 1`
+    # goes negative — extrapolating the ramp BACKWARD into an LR *boost* (factor up to
+    # ~2.3x). The reference never hits this (its schedule reaches max K only at 75%);
+    # the intent is a 0.8 -> 0.3 damping, so cap at the ramp's starting value.
+    epochs_at_max = max(1, epoch - max_iter_epoch + 1)
     remaining = total_epochs - max_iter_epoch
     if remaining > 0:
         return max(0.3, 0.8 - (epochs_at_max / remaining) * 0.5)

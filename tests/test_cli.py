@@ -145,6 +145,25 @@ def test_unfolded_cli_resume_flag(tmp_path):
     assert rows[1].startswith("3,")  # resumed at epoch 3
 
 
+def test_evaluate_cli_ghyp1_run(tmp_path):
+    """evaluate.py serves a one-shot-tier (--hyp_mode GHyp1) progressive run:
+    config-based family dispatch (args.json hyp_mode), not directory naming."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
+    import os
+
+    cfg = Config(P=4, m=8, n=10, GHN_iter_num=4, min_iterations=4, GHyp_hidden=8,
+                 batch_size=4, train_size=16, test_size=8, num_epochs=2, lr=1e-2,
+                 seed=0, hyp_mode="GHyp1")
+    run_dir = str(tmp_path / "r_oneshot")  # deliberately NOT *_progressive
+    os.makedirs(run_dir)
+    loop.train_gnn_progressive(cfg, run_dir)
+    res = evaluate.main([run_dir, "--test_size", "8"])
+    assert res["loss_curve"].shape == (4,)
+    assert np.isfinite(res["loss_curve"]).all()
+    assert np.isfinite(res["nmse"])
+
+
 def test_evaluate_cli_dlr_run(tmp_path):
     """evaluate.py on an unfolded-dlr run dir reports a finite, decreasing curve."""
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate, unfolded_dlr as drv

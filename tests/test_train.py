@@ -33,6 +33,9 @@ def test_lr_factor_for_iterations():
     f_end = schedule.lr_factor_for_iterations(15, 99, 100, 15)
     assert 0.75 <= f_start <= 0.8
     assert abs(f_end - 0.3) < 1e-9
+    # constant-K configs (min_iterations == max) are at max K from epoch 0: the factor
+    # must stay a DAMPING (<= 0.8), never extrapolate backward into an LR boost
+    assert schedule.lr_factor_for_iterations(25, 0, 100, 25) <= 0.8
 
 
 def test_reduce_lr_on_plateau():
