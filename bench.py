@@ -48,13 +48,15 @@ def bench_tpu():
 
     import sys
 
-    def time_loop(fn, args, out_bytes, tag):
+    def time_loop(fn, args, out_bytes, tag, min_s_per_unroll=0.0):
         """Timing window with a physical-plausibility guard: one unroll can never be
         faster than writing its own output through HBM (~819 GB/s on v5e; bound at
-        2 TB/s for slack). The remote-execution tunnel occasionally returns from
-        block_until_ready early, producing absurd readings (observed: 492k iter/s,
-        330x the honest value) — re-measure and keep the slowest window."""
-        sol_s = out_bytes / 2e12
+        2 TB/s for slack), nor faster than `min_s_per_unroll` when the caller knows a
+        tighter floor (e.g. fwd+bwd can't beat the measured forward-only unroll). The
+        remote-execution tunnel occasionally returns from block_until_ready early,
+        producing absurd readings (observed: 492k iter/s, 330x the honest value) —
+        re-measure and keep the slowest window."""
+        sol_s = max(out_bytes / 2e12, min_s_per_unroll)
         best_dt = None
         for attempt in range(3):
             t0 = time.perf_counter()
@@ -131,10 +133,13 @@ def bench_tpu():
             gstep = jax.jit(jax.value_and_grad(train_loss))
             v, g = gstep(table)
             jax.block_until_ready(v)
-            # fwd+bwd must at least stream the scan carry once each way: bound by
-            # half the stacked-Y bytes (conservative).
+            # fwd+bwd contains a full forward pass, so it can never run faster than
+            # the fastest forward-only variant measured above — a much tighter floor
+            # than HBM bytes (a 72k iter/s tunnel anomaly once cleared the byte bound).
+            fwd_spu = [v[1] for v in variants.values() if v is not None]
             variants["train_fwd_bwd_factored"] = time_loop(
-                lambda tb: gstep(tb)[0], (table,), Y_BYTES // 2, "train_fwd_bwd")
+                lambda tb: gstep(tb)[0], (table,), Y_BYTES // 2, "train_fwd_bwd",
+                min_s_per_unroll=min(fwd_spu) if fwd_spu else 0.0)
         except Exception as e:  # noqa: BLE001
             print(f"variant train_fwd_bwd failed: {e}", file=sys.stderr, flush=True)
 

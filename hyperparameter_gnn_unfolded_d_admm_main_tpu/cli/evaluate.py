@@ -72,7 +72,7 @@ def main(argv=None):
             print("note: dlr evaluation currently serves dense float32 — "
                   "--mesh_data/--mesh_agents/--dtype are ignored for this family",
                   file=sys.stderr)
-        from ..models.unfolded_dlr import DLRGNNHyp, UnfoldedDLR
+        from ..models.unfolded_dlr import DLRGNNHyp, DLRGNNHypOneShot, UnfoldedDLR
 
         key = jax.random.key(int(cfg.seed) + 12345)
         k_data, k_state = jax.random.split(key)
@@ -90,7 +90,8 @@ def main(argv=None):
             per_kp, _ = model.apply_losses(tree["params"], tree["norm_state"],
                                            k_state, x, yt, adj, training=False)
         else:
-            model = UnfoldedDLR(cfg.P, cfg.n, cfg)
+            model_cls = DLRGNNHypOneShot if cfg.hyp_mode == "GHyp1" else UnfoldedDLR
+            model = model_cls(cfg.P, cfg.n, cfg)
             params = model.init()
             tree, meta = ckpt.restore_partial(
                 os.path.join(run_dir, ckpt_name), {"params": params})

@@ -200,21 +200,31 @@ class DLASSOGNNHypOneShot(object):
             "enc": [dense(ks[0], self.m, h), dense(ks[1], h, h)],
             # 2 graph-conv layers (v1 `:39-40`), batched norm-adjacency matmuls
             "convs": [dense(ks[2], h, 2 * h), dense(ks[3], 2 * h, 2 * h)],
-            # pooled head -> full table; gain 0.1 + zero bias => sigmoid(~0)*max start,
-            # same conservative magnitude as the zero-init scalar table
+            # pooled head -> full table; zero-init final layer => the table starts at
+            # EXACTLY sigmoid(0)*max for every sample, the same starting point as the
+            # zero-init scalar table (models/seq_hyperparam.py). A nonzero (even
+            # gain-0.1 Xavier) init here proved unstable in K=25 training: gradients
+            # through the cumsum accumulate over all later iterations AND the head's
+            # ~4h-dim feature dot products amplify the effective step on `raw`, driving
+            # tau/rho/eta into the 0.99 clamp within two epochs.
             "head": [
                 dense(ks[4], 2 * h, 4 * h),
                 {
-                    "w": gcn.xavier_uniform(ks[5], 4 * h, self.K * self.Pp * 4,
-                                            gain=0.1, dtype=dt),
+                    "w": jnp.zeros((4 * h, self.K * self.Pp * 4), dt),
                     "b": jnp.zeros((self.K * self.Pp * 4,), dt),
                 },
             ],
         }
         return params, {}
 
+    # Damping on the head's raw output before the cumsum: the gradient of iteration
+    # k's hyperparameters reaches every raw[j], j<=k, so head updates are effectively
+    # K-fold amplified relative to the scalar table's directly-owned raw params. 0.1
+    # keeps the per-step table drift comparable to the stable scalar-table tier.
+    RAW_SCALE = 0.1
+
     def table(self, params: dict, b: jax.Array, adj: jax.Array,
-              K: Optional[int] = None) -> jax.Array:
+              K: Optional[int] = None, training: bool = True) -> jax.Array:
         """Per-sample hyperparameter table `[B, K, Pp, 4]` from one GNN evaluation."""
         K = self.K if K is None else int(K)
         B = b.shape[0]
@@ -227,16 +237,23 @@ class DLASSOGNNHypOneShot(object):
         pooled = jnp.mean(x, axis=1)                              # global mean pool (v1 `:41`)
         h = gcn.leaky_relu(pooled @ params["head"][0]["w"] + params["head"][0]["b"])
         raw = h @ params["head"][1]["w"] + params["head"][1]["b"]
-        raw = raw.reshape(B, self.K, self.Pp, 4)[:, :K]
+        raw = self.RAW_SCALE * raw.reshape(B, self.K, self.Pp, 4)[:, :K]
         # cumsum over K (v1 `:43`) + sigmoid/cap as in seq_hyperparam.hyp_table
         table = jax.nn.sigmoid(jnp.cumsum(raw, axis=1)) * self.maxes
+        if training:
+            # Same soft anti-saturation penalty as the scalar table
+            # (seq_hyperparam.hyp_table / reference unfolded_DLASSO.py:160-165),
+            # applied per sample per iteration.
+            means = jnp.mean(table, axis=(2, 3))                  # [B,K]
+            scale = jnp.where(means > 0.8, 0.95, 1.0)
+            table = table * scale[..., None, None]
         return jnp.clip(table, 1e-4, 0.99)
 
-    def _unroll(self, params, key, b, adj, K, with_losses, label=None):
+    def _unroll(self, params, key, b, adj, K, with_losses, label=None, training=True):
         B = b.shape[0]
         Atb = sensing.At_apply(self.A, b)
         deg = graph_ops.degrees(adj)
-        table = self.table(params, b, adj, K)                     # [B,K,Pp,4]
+        table = self.table(params, b, adj, K, training=training)  # [B,K,Pp,4]
         table_k = jnp.moveaxis(table, 1, 0)                       # scan xs: [K,B,Pp,4]
         st0 = dadmm_core.init_state(key, B, self.P, self.n, dtype=b.dtype)
         st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
@@ -264,17 +281,19 @@ class DLASSOGNNHypOneShot(object):
 
     def apply(self, params, state, key, b, adj,
               training_iterations: Optional[int] = None, training: bool = True):
-        del training  # no dropout/batch-norm in this tier (v1 has none either)
+        # no dropout/batch-norm in this tier (v1 has none either); `training` only
+        # gates the table's anti-saturation penalty
         K = self.K if training_iterations is None else int(training_iterations)
-        Y, hyp_last = self._unroll(params, key, b, adj, K, with_losses=False)
+        Y, hyp_last = self._unroll(params, key, b, adj, K, with_losses=False,
+                                   training=training)
         return GNNHypOutput(Y=Y, hyp_last=hyp_last, state=state)
 
     def apply_losses(self, params, state, key, b, adj, label,
                      training_iterations: Optional[int] = None, training: bool = True):
-        del training
         K = self.K if training_iterations is None else int(training_iterations)
         per_kp, hyp_last = self._unroll(params, key, b, adj, K,
-                                        with_losses=True, label=label)
+                                        with_losses=True, label=label,
+                                        training=training)
         return per_kp, hyp_last, state
 
 

@@ -61,7 +61,7 @@ def _neighbor_sum(adj: jax.Array, v: jax.Array) -> jax.Array:
 
 def unroll_table(
     state: DLRState,
-    hyp_table: jax.Array,     # [K, Pp, 6] (rho, alpha, delta, eta, gamma, beta)
+    hyp_table: jax.Array,     # [K, Pp, 6] or per-sample [B, K, Pp, 6]
     x: jax.Array,             # [B, P, d]
     y: jax.Array,             # [B, P, 1]
     adj: jax.Array,           # [B, P, P]
@@ -71,22 +71,28 @@ def unroll_table(
     """Scan K dlr iterations; returns (final state, per-iteration per-agent MSE [K,P])
     where the MSE is of the prediction a.x + w against y.
 
+    hyp_table columns are (rho, alpha, delta, eta, gamma, beta); a 4-D table carries
+    per-sample hyperparameters (the one-shot hypernetwork tier, DLRGNNHypOneShot).
+
     neighbor_fn(v) -> sum over graph neighbors; defaults to the dense local einsum.
     Sharded callers (parallel/unfolded_sharded.make_sharded_dlr_unroll) substitute a
     collective schedule — `adj` then holds only the local agent ROWS [B, Pl, P]."""
     deg = jnp.sum(adj, axis=-1)[..., None]   # [B, P, 1]
     if neighbor_fn is None:
         neighbor_fn = lambda v: _neighbor_sum(adj, v)
+    per_sample = hyp_table.ndim == 4
+    xs_table = jnp.moveaxis(hyp_table, 1, 0) if per_sample else hyp_table
 
     def body(carry, xs):
         st, k = carry, xs[0]
-        hyp_k = xs[1]
-        rho = hyp_k[None, :, 0:1]
-        alpha = hyp_k[None, :, 1:2]
-        delt = hyp_k[None, :, 2:3]
-        eta = hyp_k[None, :, 3:4]
-        gamma = hyp_k[None, :, 4:5]
-        beta = hyp_k[None, :, 5:6]
+        # normalize to [B|1, Pp, 6] so hyperparameter factors broadcast over [B,P,d]
+        hyp_k = xs[1] if per_sample else xs[1][None]
+        rho = hyp_k[..., 0:1]
+        alpha = hyp_k[..., 1:2]
+        delt = hyp_k[..., 2:3]
+        eta = hyp_k[..., 3:4]
+        gamma = hyp_k[..., 4:5]
+        beta = hyp_k[..., 5:6]
         c = dadmm_core.unfolded_clamps(k)
         a, w, mu, lamda = st
         sum_a = neighbor_fn(a)
@@ -109,9 +115,9 @@ def unroll_table(
 
     if remat:
         body = jax.checkpoint(body)
-    K = hyp_table.shape[0]
+    K = xs_table.shape[0]
     ks = jnp.arange(K, dtype=jnp.float32)
-    st, per_kp = jax.lax.scan(body, state, (ks, hyp_table))
+    st, per_kp = jax.lax.scan(body, state, (ks, xs_table))
     return st, per_kp
 
 
@@ -262,3 +268,95 @@ class DLRGNNHyp:
             body, (st0, state), jnp.arange(K, dtype=jnp.int32)
         )
         return per_kp, bn_state
+
+
+class DLRGNNHypOneShot:
+    """One-shot GNN hypernetwork for dlr: the whole per-sample `[K, Pp, 6]` table from
+    a SINGLE graph-conditioned GNN evaluation, then the plain table-driven unroll.
+
+    Completes the capability matrix (both problem families x all three learned tiers):
+    the dlr analogue of `models/gnn_hypernet.py:DLASSOGNNHypOneShot`, which itself
+    re-designs the reference's first hypernetwork generation
+    (`old code/gnn_dlasso_models.py:9-160` — MLP encoder -> 2 GCN layers -> global
+    mean pool -> head emitting the full table, cumsum over K). Per-agent node features
+    are the local observation `[x_p || y_p]` (the dlr problem data; no solver state —
+    that is what makes it one-shot). Same stabilizations as the dlasso one-shot tier:
+    zero-init final head layer, damped raw output, training-time anti-saturation
+    penalty (see DLASSOGNNHypOneShot for the K=25 divergence history motivating them).
+    """
+
+    RAW_SCALE = 0.1
+
+    def __init__(self, P: int, d: int, cfg: Config):
+        self.P, self.d = P, d
+        self.K = cfg.GHN_iter_num
+        self.hidden = int(cfg.GHyp_hidden)
+        self.mode = cfg.DADMM_mode
+        self.cfg = cfg
+        self.Pp = 1 if cfg.DADMM_mode == "same" else P
+        # (rho, alpha, delta, eta, gamma, beta) caps, column order of UnfoldedDLR
+        self.maxes = jnp.asarray(
+            [cfg.rho_max, cfg.alpha_max, cfg.rho_max, cfg.eta_max, cfg.eta_max,
+             cfg.alpha_max], dtype=jnp.float32,
+        )
+
+    def init(self) -> dict:
+        from ..ops import gcn
+
+        h = self.hidden
+        ks = jax.random.split(jax.random.key(int(self.cfg.seed)), 5)
+        dense = lambda k, i, o: {
+            "w": gcn.xavier_uniform(k, i, o), "b": jnp.zeros((o,), jnp.float32)
+        }
+        return {
+            "enc": [dense(ks[0], self.d + 1, h), dense(ks[1], h, h)],
+            "convs": [dense(ks[2], h, 2 * h), dense(ks[3], 2 * h, 2 * h)],
+            "head": [
+                dense(ks[4], 2 * h, 4 * h),
+                {"w": jnp.zeros((4 * h, self.K * self.Pp * 6), jnp.float32),
+                 "b": jnp.zeros((self.K * self.Pp * 6,), jnp.float32)},
+            ],
+        }
+
+    def table(self, params: dict, x: jax.Array, y: jax.Array, adj: jax.Array,
+              K: Optional[int] = None, training: bool = True) -> jax.Array:
+        """Per-sample hyperparameter table `[B, K, Pp, 6]` from one GNN evaluation."""
+        from ..ops import gcn
+        from ..ops import graphs as graph_ops
+
+        K = self.K if K is None else int(K)
+        B = x.shape[0]
+        feats = jnp.concatenate([x, y], axis=-1)                  # [B,P,d+1]
+        for lyr in params["enc"]:
+            feats = gcn.leaky_relu(feats @ lyr["w"] + lyr["b"])
+        norm_adj = graph_ops.gcn_norm_adj(adj)
+        for lyr in params["convs"]:
+            feats = gcn.leaky_relu(gcn.gcn_layer(norm_adj, feats, lyr["w"], lyr["b"]))
+        pooled = jnp.mean(feats, axis=1)
+        h = gcn.leaky_relu(pooled @ params["head"][0]["w"] + params["head"][0]["b"])
+        raw = h @ params["head"][1]["w"] + params["head"][1]["b"]
+        raw = self.RAW_SCALE * raw.reshape(B, self.K, self.Pp, 6)[:, :K]
+        table = jax.nn.sigmoid(jnp.cumsum(raw, axis=1)) * self.maxes
+        if training:
+            means = jnp.mean(table, axis=(2, 3))                  # [B,K]
+            scale = jnp.where(means > 0.8, 0.95, 1.0)
+            table = table * scale[..., None, None]
+        return jnp.clip(table, 1e-4, 0.99)
+
+    def apply_losses(
+        self,
+        params: dict,
+        key: jax.Array,
+        x: jax.Array,
+        y: jax.Array,
+        adj: jax.Array,
+        K: Optional[int] = None,
+        training: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (per-iteration per-agent MSE [K, P], final-iteration mean hyp
+        [Pp, 6]) — the UnfoldedDLR signature, so the table-tier harness drives it."""
+        K = self.K if K is None else min(K, self.K)
+        table = self.table(params, x, y, adj, K, training=training)  # [B,K,Pp,6]
+        state = init_state(key, x.shape[0], self.P, self.d, dtype=x.dtype)
+        _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat)
+        return per_kp, jnp.mean(table[:, K - 1], axis=0)

@@ -420,8 +420,10 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
     as `train_unfolded`: fixed graph, Adam, plateau(0.8,3), early stop 70.
     Uses cfg.n as the regression feature dimension d. `cfg.hyp_mode` selects the
     hyperparameter tier — 'unfolded' = learned 6-param table, 'GHyp' = the
-    state-conditioned GNN hypernetwork (reference flag `configurations.py:123`)."""
-    from ..models.unfolded_dlr import DLRGNNHyp, UnfoldedDLR
+    state-conditioned GNN hypernetwork (reference flag `configurations.py:123`),
+    'GHyp1' = the one-shot hypernetwork (full table from one GNN evaluation; shares
+    the table tier's stateless harness path)."""
+    from ..models.unfolded_dlr import DLRGNNHyp, DLRGNNHypOneShot, UnfoldedDLR
 
     log = IOStream(os.path.join(out_dir, "run.log"))
     key = jax.random.key(int(cfg.seed))
@@ -438,7 +440,8 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         model = DLRGNNHyp(cfg.P, d, cfg)
         params, norm_state = model.init(k_model)
     else:
-        model = UnfoldedDLR(cfg.P, d, cfg)
+        model_cls = DLRGNNHypOneShot if cfg.hyp_mode == "GHyp1" else UnfoldedDLR
+        model = model_cls(cfg.P, d, cfg)
         params, norm_state = model.init(), {}
     tx = optim.make_optimizer("adam", cfg.lr)
     opt_state = tx.init(params)

@@ -164,6 +164,52 @@ def test_evaluate_cli_ghyp1_run(tmp_path):
     assert np.isfinite(res["nmse"])
 
 
+def test_evaluate_cli_dlr_ghyp1_run(tmp_path):
+    """Train + evaluate the one-shot dlr hypernetwork tier (--hyp_mode GHyp1):
+    per-sample [B,K,Pp,6] table through the batched unroll, round-tripped via ckpt."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate, unfolded_dlr as drv
+
+    res = drv.main([
+        "--P", "4", "--n", "8", "--GHN_iter_num", "4", "--batch_size", "4",
+        "--train_size", "16", "--test_size", "8", "--num_epochs", "4",
+        "--lr", "1e-2", "--GHyp_hidden", "8", "--hyp_mode", "GHyp1",
+        "--save_dir", str(tmp_path / "dlr1"),
+    ])
+    assert np.isfinite(res["best_valid_loss"])
+    out = evaluate.main([res["out_dir"], "--test_size", "8"])
+    assert out["loss_curve"].shape == (4,)
+    assert np.isfinite(out["loss_curve"]).all()
+
+
+def test_dlr_oneshot_table_per_sample_unroll():
+    """The batched [B,K,Pp,6] table path of unroll_table matches running each sample
+    separately with its own [K,Pp,6] table."""
+    import jax
+    import jax.numpy as jnp
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import unfolded_dlr as m
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs
+
+    B, P, d, K = 3, 4, 6, 5
+    key = jax.random.key(0)
+    kx, ky, kt, ks = jax.random.split(key, 4)
+    x = jax.random.normal(kx, (B, P, d))
+    y = jax.random.normal(ky, (B, P, 1))
+    adj = jnp.asarray(graphs.fast_sample_connected_er(0, B, P, 0.6))
+    table = jax.nn.sigmoid(jax.random.normal(kt, (B, K, P, 6))) * 0.1
+    st = m.init_state(ks, B, P, d)
+    _, per_kp_batched = m.unroll_table(st, table, x, y, adj, remat=False)
+    # per-sample reference: run each sample alone with its own 3-D table
+    per_sample = []
+    for i in range(B):
+        sti = m.DLRState(*(v[i:i + 1] for v in st))
+        _, pk = m.unroll_table(sti, table[i], x[i:i + 1], y[i:i + 1],
+                               adj[i:i + 1], remat=False)
+        per_sample.append(pk)
+    # batched per_kp averages over B; rebuild that average from the singles
+    want = jnp.mean(jnp.stack(per_sample), axis=0)
+    assert jnp.allclose(per_kp_batched, want, atol=1e-5)
+
+
 def test_evaluate_cli_dlr_run(tmp_path):
     """evaluate.py on an unfolded-dlr run dir reports a finite, decreasing curve."""
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate, unfolded_dlr as drv
