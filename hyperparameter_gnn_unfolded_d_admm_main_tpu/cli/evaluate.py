@@ -13,7 +13,8 @@ and reports the loss-vs-iteration convergence curve, final loss, and NMSE.
 
 `--dtype bfloat16` serves the solver with a bf16 state (half the HBM state traffic;
 NMSE within a 0.5% gate of f32 on the trained flagship, 0.08% measured — PARITY.md). `--mesh_data/--mesh_agents`
-(unfolded family) shard batch serving over a device mesh with collective consensus.
+(unfolded family) shard batch serving over a device mesh with collective consensus;
+the GNN family (GHyp/GHyp1 runs) shards the data axis (`--mesh_data N`).
 """
 
 from __future__ import annotations
@@ -137,9 +138,30 @@ def main(argv=None):
         tree, meta = ckpt.restore_partial(
             ckpt_dir, {"params": params, "norm_state": norm_state}
         )
-        out = model.apply(tree["params"], tree["norm_state"], k_state, b, adj,
-                          training=False)
-        Y = out.Y
+        apply = lambda p, s, k, b_, adj_: model.apply(p, s, k, b_, adj_,
+                                                      training=False).Y
+        if n_mesh > 1:
+            # Multi-chip GNN-family serving: in eval mode the hypernetwork forward is
+            # purely per-sample (norm layers read running stats, no cross-sample op),
+            # so batch inference shards cleanly over a data mesh — GSPMD propagates
+            # the input sharding through encoder, decoder, and the D-ADMM scan.
+            # Agent-axis sharding would put collectives inside the GCN layers and is
+            # an unfolded-family-only feature for now.
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel import mesh as mesh_lib
+
+            if cfg.mesh_agents > 1:
+                raise SystemExit("GNN-family serving shards the data axis only — "
+                                 "use --mesh_data N --mesh_agents 1")
+            if test_size % cfg.mesh_data:
+                raise SystemExit(f"sharded serving needs test_size ({test_size}) "
+                                 f"divisible by mesh_data ({cfg.mesh_data})")
+            mesh = mesh_lib.make_mesh(cfg.mesh_data, 1)
+            dp = NamedSharding(mesh, PartitionSpec("data"))
+            b = jax.device_put(b, dp)
+            adj = jax.device_put(adj, dp)
+            apply = jax.jit(apply)
+        Y = apply(tree["params"], tree["norm_state"], k_state, b, adj)
     elif cfg.mesh_data * cfg.mesh_agents > 1:
         # Multi-chip batch serving: shard_map the unroll over a (data, agents) mesh
         # with collective consensus — the sharded analogue of `model.apply`.

@@ -121,6 +121,26 @@ def test_evaluate_cli_sharded_serving(tmp_path):
     assert np.isfinite(bf["loss_curve"]).all()
 
 
+def test_evaluate_cli_gnn_sharded_serving(tmp_path):
+    """GNN-family serving over a data mesh (--mesh_data): eval-mode forward is
+    per-sample, so the sharded curve must reproduce the dense one."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
+    import os
+
+    cfg = Config(P=4, m=8, n=10, GHN_iter_num=3, min_iterations=3, GHyp_hidden=8,
+                 batch_size=4, train_size=16, test_size=8, num_epochs=2, lr=1e-2,
+                 seed=0, hyp_mode="GHyp")
+    run_dir = str(tmp_path / "r_gnn")
+    os.makedirs(run_dir)
+    loop.train_gnn_progressive(cfg, run_dir)
+    dense = evaluate.main([run_dir, "--test_size", "8"])
+    sharded = evaluate.main([run_dir, "--test_size", "8",
+                             "--mesh_data", "2", "--mesh_agents", "1"])
+    np.testing.assert_allclose(sharded["loss_curve"], dense["loss_curve"],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_unfolded_cli_resume_flag(tmp_path):
     """--resume continues a run from its last/ checkpoint through the CLI."""
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import unfolded_train_new
