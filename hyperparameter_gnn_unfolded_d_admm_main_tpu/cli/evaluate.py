@@ -123,6 +123,12 @@ def main(argv=None):
             graphs.fast_sample_connected_er(int(cfg.seed) + 7, test_size, cfg.P,
                                             max(cfg.graph_prob, 0.3))
         )
+    elif os.path.exists(os.path.join(run_dir, "graph.npy")):
+        # Explicit topology saved with the run — written by `cli.import_torch
+        # --recover_graph` for runs migrated from the reference framework (which never
+        # saves its unseeded training graph, `unfolded_train_new.py:56`).
+        one = np.load(os.path.join(run_dir, "graph.npy"))
+        adj = jnp.broadcast_to(jnp.asarray(one), (test_size, cfg.P, cfg.P))
     else:
         # Scalar-table runs train against ONE fixed graph (train/loop.py
         # _fixed_graph_batch); the learned table is specific to that Laplacian, so

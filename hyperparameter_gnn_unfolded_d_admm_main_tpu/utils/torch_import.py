@@ -1,0 +1,175 @@
+"""Import reference-framework (PyTorch) trained runs into this framework's format.
+
+The reference saves unfolded-table runs as `{model.pt, A.pt, args.pt}` under a run
+directory (`unfolded_train_new.py:146-184`): `model.pt` is an `nn.Module` state dict
+whose single entry `seq_hyp.param` is the raw cumsum-sigmoid table `[K, Pp, 4]`
+(`unfolded_DLASSO.py:148-152`), `A.pt` the sensing matrices `[1, P, m, n]`
+(`gnn_dlasso_utils.py:4-16`), and `args.pt` the pickled argparse namespace. A user
+migrating from the reference can convert such a run with
+
+    dadmm-import <reference_run_dir> <out_dir> [--recover_graph]
+
+after which `cli.evaluate` serves it exactly like a natively trained run. Because the
+parameterization here is bit-matched to the reference (`models/seq_hyperparam.py`),
+the imported weights reproduce the reference model's behavior — this is also how the
+golden-weights parity tests pin cross-framework numerics
+(`tests/test_golden_reference.py`).
+
+One thing the reference does NOT save is the fixed training topology: the driver draws
+an unseeded `nx.erdos_renyi_graph(P, prob)` once per run (`unfolded_train_new.py:56`)
+and the learned per-agent table is specific to that Laplacian. `recover_training_graph`
+reconstructs it by enumerating (P small) or sampling candidate topologies and picking
+the one the imported table solves best — the recovered adjacency is stored as
+`graph.npy` in the run dir and honored by `cli.evaluate`.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+
+
+def load_reference_unfolded_run(src_dir: str) -> Tuple[np.ndarray, np.ndarray, Config]:
+    """Read `{model.pt, A.pt, args.pt}` → (A [P,m,n], raw table [K,Pp,4], Config).
+
+    torch is used only here, for deserialization; everything downstream is numpy/JAX.
+    """
+    import torch
+
+    state = torch.load(os.path.join(src_dir, "model.pt"), map_location="cpu",
+                       weights_only=False)
+    if hasattr(state, "state_dict"):  # whole-module save, not a state dict
+        state = state.state_dict()
+    if "seq_hyp.param" not in state:
+        raise ValueError(
+            f"{src_dir}/model.pt has keys {list(state.keys())} — not an unfolded-table "
+            "run (expected 'seq_hyp.param'; GNN-family checkpoints are LFS-missing in "
+            "the reference snapshot and are not importable)")
+    raw = state["seq_hyp.param"].detach().numpy().astype(np.float32)
+
+    A = torch.load(os.path.join(src_dir, "A.pt"), map_location="cpu",
+                   weights_only=False)
+    A = A.detach().numpy().astype(np.float32)
+    if A.ndim == 4:  # reference keeps a leading broadcast axis `[1,P,m,n]`
+        A = A[0]
+
+    ns = torch.load(os.path.join(src_dir, "args.pt"), map_location="cpu",
+                    weights_only=False)
+    d = dict(vars(ns)) if not isinstance(ns, dict) else dict(ns)
+    known = {f.name for f in Config.__dataclass_fields__.values()}
+    cfg = Config(**{k: v for k, v in d.items() if k in known})
+    # The table defines K; trust it over the namespace (layer-wise runs save prefixes).
+    cfg = cfg.replace(GHN_iter_num=int(raw.shape[0]), hyp_mode="unfolded",
+                      case="dlasso", resume="")
+    if raw.shape[1] not in (1, cfg.P):
+        raise ValueError(f"table agent axis {raw.shape[1]} matches neither 1 nor P={cfg.P}")
+    cfg = cfg.replace(DADMM_mode="same" if raw.shape[1] == 1 else "diff")
+    return A, raw, cfg
+
+
+def _connected(adj: np.ndarray) -> bool:
+    P = adj.shape[0]
+    reach = np.eye(P, dtype=bool) | adj.astype(bool)
+    for _ in range(P - 1):
+        reach = reach | (reach @ reach)
+    return bool(reach.all())
+
+
+def candidate_graphs(P: int, prob: float, max_candidates: int = 1024,
+                     seed: int = 0) -> np.ndarray:
+    """Connected candidate adjacencies `[G, P, P]`.
+
+    P <= 5: ALL connected labeled graphs (e.g. 728 of the 1024 5-node graphs), so the
+    true training topology is guaranteed to be among the candidates. Larger P: sampled.
+    """
+    pairs = list(itertools.combinations(range(P), 2))
+    n_edges = len(pairs)
+    out = []
+    if 2 ** n_edges <= max_candidates:
+        masks = range(1, 2 ** n_edges)
+    else:
+        rng = np.random.default_rng(seed)
+        masks = rng.integers(1, 2 ** n_edges, size=max_candidates, dtype=np.int64)
+    for mask in masks:
+        adj = np.zeros((P, P), np.float32)
+        for e, (i, j) in enumerate(pairs):
+            if (int(mask) >> e) & 1:
+                adj[i, j] = adj[j, i] = 1.0
+        if _connected(adj):
+            out.append(adj)
+    return np.stack(out)
+
+
+def recover_training_graph(
+    A, raw: np.ndarray, cfg: Config, num_samples: int = 32,
+    max_candidates: int = 1024, data_seed: int = 99,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Find the fixed topology an imported per-agent table was trained against.
+
+    Evaluates the table's final-layer loss on every candidate graph in ONE batched
+    unroll (graphs tiled into the batch axis — topology is data here, so a single
+    compiled program scores all candidates) and returns
+    (best adjacency [P,P], per-candidate losses [G]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.unfolded import UnfoldedDLASSO
+    from ..ops import data as data_ops
+    from ..train import losses as losses_lib
+
+    cands = candidate_graphs(cfg.P, cfg.graph_prob, max_candidates)
+    G = cands.shape[0]
+    A = jnp.asarray(A)
+    model = UnfoldedDLASSO(A, cfg)
+    key = jax.random.key(data_seed)
+    k_data, k_state = jax.random.split(key)
+    b, y = data_ops.make_dataset(k_data, A, num_samples, cfg.snr, noise=cfg.data_noise)
+    # Tile: batch axis carries (graph, sample) pairs — [G*S, ...].
+    b_t = jnp.tile(b, (G, 1, 1))
+    adj_t = jnp.repeat(jnp.asarray(cands), num_samples, axis=0)
+
+    Y, _ = jax.jit(lambda p, k, b_, a_: model.apply(p, k, b_, a_, training=True))(
+        {"seq_hyp": jnp.asarray(raw)}, k_state, b_t, adj_t)
+    yK = Y[-1].reshape(G, num_samples, cfg.P, cfg.n)
+    diff = yK - jnp.tile(y, (G, 1, 1))[:, :, None, :]
+    per_graph = np.asarray(jnp.mean(diff * diff, axis=(1, 2, 3)))
+    best = int(np.argmin(per_graph))
+    del losses_lib
+    return cands[best], per_graph
+
+
+def import_unfolded_run(
+    src_dir: str, out_dir: str, recover_graph: bool = False,
+    graph_candidates: int = 1024, graph_samples: int = 32,
+) -> Dict:
+    """Convert a reference unfolded run dir into this framework's run-dir layout
+    (`args.json` + `A.npy` + `best/` checkpoint [+ `graph.npy`]), servable by
+    `cli.evaluate` and resumable as initialization by the training drivers."""
+    from . import checkpoint as ckpt
+
+    A, raw, cfg = load_reference_unfolded_run(src_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "A.npy"), A)
+    with open(os.path.join(out_dir, "args.json"), "w") as f:
+        json.dump(cfg.__dict__, f, indent=2, sort_keys=True, default=str)
+    meta = {"imported_from": os.path.abspath(src_dir), "epoch": "imported"}
+    info: Dict = {"out_dir": out_dir, "K": int(raw.shape[0]), "P": cfg.P,
+                  "mode": cfg.DADMM_mode}
+    if recover_graph:
+        adj, per_graph = recover_training_graph(
+            A, raw, cfg, num_samples=graph_samples, max_candidates=graph_candidates)
+        np.save(os.path.join(out_dir, "graph.npy"), adj)
+        meta["recovered_graph_loss"] = float(per_graph.min())
+        meta["graph_candidates"] = int(per_graph.shape[0])
+        info["graph_loss_best"] = float(per_graph.min())
+        info["graph_loss_median"] = float(np.median(per_graph))
+        info["graph_candidates"] = int(per_graph.shape[0])
+    ckpt.save(os.path.join(out_dir, "best"), {"params": {"seq_hyp": raw}}, meta)
+    return info
