@@ -53,9 +53,17 @@ def make_classic_lasso_dataset(
 def make_lr_dataset(
     key: jax.Array, P: int, data_len: int, d: int = 784, dtype=jnp.float32
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (x [data_len, P, d], labels [data_len, P, 1]) with integer targets."""
+    """Returns (x [data_len, P, d], labels [data_len, P, 1]) with integer targets.
+
+    Input scale matters: the reference loads MNIST with `ToTensor()` (already [0,1],
+    `utils.py:12-17`) and then divides by 255 AGAIN inside the epoch loop
+    (`utils.py:57,91` `inputs / 255`), so its effective dlr inputs are <= 0.004. Its
+    default hyperparameter scalars (alpha=0.3013 etc., `configurations.py:73-86`) are
+    only stable at that scale — at unit-scale inputs the d=784 rank-1 Gram term
+    `x (x . a)` is ~65000x larger and the color sweep diverges within one segment.
+    The synthetic stand-in reproduces the reference's effective scale."""
     kx, kl = jax.random.split(key)
-    x = jax.random.uniform(kx, (data_len, P, d), dtype)
+    x = jax.random.uniform(kx, (data_len, P, d), dtype) / 255.0
     labels = jax.random.randint(kl, (data_len, P, 1), 0, 10).astype(dtype)
     return x, labels
 
