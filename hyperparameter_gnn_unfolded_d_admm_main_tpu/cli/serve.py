@@ -1,0 +1,210 @@
+"""Driver: persistent batch-inference server for trained runs.
+
+The reference's only inference surface is a one-shot script run (`dlasso.py --eval`,
+`dlasso.py:41-50`). This serves a trained run as a long-lived process: the checkpoint
+is loaded ONCE, the solver is jitted ONCE at a fixed batch shape (static shapes are
+what keep a TPU serving path at one compiled program — requests are padded to the
+compiled batch and sliced back), and requests stream over newline-delimited JSON on a
+TCP socket:
+
+    dadmm-serve <run_dir> [--port 8763] [--host 127.0.0.1] [--max_batch 32]
+                [--ckpt best] [--device tpu] [--dtype bfloat16]
+                [--gram_mode factored]
+
+Request (one JSON object per line):
+    {"b": [[...m floats...] x P]}                 one sample, or
+    {"b": [[[...]] x B]}                          a batch [B, P, m]
+    optional "adj": [[0/1 x P] x P]               topology override (defaults to the
+                                                  run's fixed/recovered graph; GNN-family
+                                                  runs sample a fresh connected graph)
+Response:
+    {"y_hat": [B x n], "y_agents_shape": [K,B,P,n], "batch": B, "K": K,
+     "latency_ms": ...}       y_hat = final-iteration consensus (mean over agents)
+
+`{"cmd": "ping"}` health-checks, `{"cmd": "shutdown"}` stops the server. Serving knobs
+(`--dtype bfloat16`, `--gram_mode factored`) match `cli.evaluate`'s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socketserver
+import sys
+import threading
+import time
+
+
+class _Solver:
+    """Checkpoint loaded once; one jitted solve at a fixed [max_batch, P, m] shape."""
+
+    def __init__(self, run_dir: str, ckpt_name: str, max_batch: int, overrides: dict):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..config import Config
+        from ..models.gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
+        from ..models.unfolded import UnfoldedDLASSO
+        from ..ops import graphs
+        from ..utils import checkpoint as ckpt
+
+        with open(os.path.join(run_dir, "args.json")) as f:
+            cfg = Config.from_json(f.read())
+        for k, v in overrides.items():
+            cfg = cfg.replace(**{k: v})
+        if cfg.case == "dlr":
+            raise SystemExit("serve currently covers the dlasso families; use "
+                             "cli.evaluate for dlr runs")
+        self.cfg = cfg
+        self.max_batch = max_batch
+        A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
+        self.P, self.m, self.n = A.shape
+
+        self.is_gnn = cfg.hyp_mode in ("GHyp", "GHyp1")
+        ckpt_dir = os.path.join(run_dir, ckpt_name)
+        if self.is_gnn:
+            model_cls = DLASSOGNNHypOneShot if cfg.hyp_mode == "GHyp1" else DLASSOGNNHyp
+            model = model_cls(A, cfg)
+            params, norm_state = model.init(jax.random.key(0))
+            tree, _ = ckpt.restore_partial(
+                ckpt_dir, {"params": params, "norm_state": norm_state})
+            self._fn = jax.jit(lambda k, b, adj: model.apply(
+                tree["params"], tree["norm_state"], k, b, adj, training=False).Y)
+            # GNN runs train on fresh per-sample graphs; default serving topology
+            # likewise (deterministic seed — override per request via "adj").
+            self.default_adj = np.asarray(graphs.fast_sample_connected_er(
+                int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, 0.3)))
+        else:
+            model = UnfoldedDLASSO(A, cfg)
+            params = model.init()
+            tree, _ = ckpt.restore_partial(ckpt_dir, {"params": params})
+            self._fn = jax.jit(lambda k, b, adj: model.apply(
+                tree["params"], k, b, adj, training=False)[0])
+            gp = os.path.join(run_dir, "graph.npy")
+            if os.path.exists(gp):  # imported/recovered topology (cli.import_torch)
+                one = np.load(gp)
+            else:                   # the run's fixed training graph, from its seed
+                one = graphs.sample_er_adjacency(
+                    np.random.default_rng(int(cfg.seed)), cfg.P, cfg.graph_prob)
+            self.default_adj = np.broadcast_to(one, (max_batch, cfg.P, cfg.P)).copy()
+        self._key = jax.random.key(int(cfg.seed) + 777)
+        self._jnp = jnp
+        self._np = np
+        self._jax = jax
+        self._lock = threading.Lock()  # jit dispatch is thread-safe but keep FIFO
+        self.warmup()
+
+    def warmup(self):
+        np, jnp = self._np, self._jnp
+        b = jnp.zeros((self.max_batch, self.P, self.m), jnp.float32)
+        Y = self._fn(self._key, b, jnp.asarray(self.default_adj, jnp.float32))
+        self._jax.block_until_ready(Y)
+        self.K = int(Y.shape[0])
+
+    def solve(self, b_np, adj_np=None):
+        np, jnp = self._np, self._jnp
+        if b_np.ndim == 2:
+            b_np = b_np[None]
+        B = b_np.shape[0]
+        if b_np.shape[1:] != (self.P, self.m):
+            raise ValueError(f"b must be [B,{self.P},{self.m}], got {list(b_np.shape)}")
+        out = []
+        with self._lock:
+            for lo in range(0, B, self.max_batch):
+                chunk = b_np[lo:lo + self.max_batch]
+                pad = self.max_batch - chunk.shape[0]
+                if pad:  # pad to the compiled batch, slice the answer back
+                    chunk = np.concatenate([chunk, np.zeros((pad, self.P, self.m),
+                                                            chunk.dtype)])
+                adj = self.default_adj
+                if adj_np is not None:
+                    adj = np.broadcast_to(adj_np, (self.max_batch, self.P, self.P))
+                Y = self._fn(self._key, jnp.asarray(chunk, jnp.float32),
+                             jnp.asarray(adj, jnp.float32))
+                y_hat = np.asarray(jnp.mean(Y[-1], axis=1))  # consensus over agents
+                out.append(y_hat[: self.max_batch - pad if pad else self.max_batch])
+        return np.concatenate(out), B
+
+
+def _make_handler(solver: _Solver, server_ref: dict):
+    import numpy as np
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                raw = raw.strip()
+                if not raw:
+                    continue
+                t0 = time.perf_counter()
+                try:
+                    req = json.loads(raw)
+                    if req.get("cmd") == "ping":
+                        resp = {"ok": True, "P": solver.P, "m": solver.m,
+                                "n": solver.n, "K": solver.K,
+                                "max_batch": solver.max_batch}
+                    elif req.get("cmd") == "shutdown":
+                        self.wfile.write(b'{"ok": true, "shutdown": true}\n')
+                        self.wfile.flush()
+                        threading.Thread(
+                            target=server_ref["server"].shutdown, daemon=True).start()
+                        return
+                    else:
+                        b = np.asarray(req["b"], np.float32)
+                        adj = (np.asarray(req["adj"], np.float32)
+                               if "adj" in req else None)
+                        y_hat, B = solver.solve(b, adj)
+                        resp = {"y_hat": y_hat.tolist(), "batch": B, "K": solver.K,
+                                "latency_ms": round(
+                                    (time.perf_counter() - t0) * 1e3, 3)}
+                except Exception as e:  # noqa: BLE001 - a bad request must not kill serving
+                    resp = {"error": f"{type(e).__name__}: {e}"}
+                self.wfile.write(json.dumps(resp).encode() + b"\n")
+                self.wfile.flush()
+
+    return Handler
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: serve <run_dir> [--port 8763] [--host 127.0.0.1] "
+              "[--max_batch 32] [--ckpt best] [--device tpu] [--dtype bfloat16] "
+              "[--gram_mode factored]")
+        return
+    run_dir = argv[0]
+    opts = dict(zip(argv[1::2], argv[2::2]))
+
+    from ..utils.platform import select_device
+
+    select_device(opts.get("--device", "tpu"))
+    overrides = {}
+    if "--dtype" in opts:
+        overrides["dtype"] = opts["--dtype"]
+    if "--gram_mode" in opts:
+        overrides["gram_mode"] = opts["--gram_mode"]
+    solver = _Solver(run_dir, opts.get("--ckpt", "best"),
+                     int(opts.get("--max_batch", 32)), overrides)
+
+    server_ref: dict = {}
+    socketserver.ThreadingTCPServer.allow_reuse_address = True
+    server = socketserver.ThreadingTCPServer(
+        (opts.get("--host", "127.0.0.1"), int(opts.get("--port", 8763))),
+        _make_handler(solver, server_ref))
+    server_ref["server"] = server
+    host, port = server.server_address
+    # Machine-readable readiness line (stdout): clients/tests parse the bound port.
+    print(json.dumps({"serving": run_dir, "host": host, "port": port,
+                      "P": solver.P, "m": solver.m, "n": solver.n, "K": solver.K,
+                      "max_batch": solver.max_batch}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    print("server stopped", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""End-to-end test of the batch-inference server (`cli/serve.py`).
+
+Spawns the server as a real subprocess (CPU backend) on a trained/imported run,
+then drives the JSON-lines TCP protocol: health check, single-sample solve, batch
+solve with padding, topology override, malformed request, shutdown.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+RUN = os.path.join(os.path.dirname(__file__), os.pardir,
+                   "results_parity", "imported_csv_folder1")
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(RUN, "best", "state.msgpack")),
+    reason="imported golden run not present",
+)
+
+
+class Client:
+    def __init__(self, host, port):
+        self.sock = socket.create_connection((host, port), timeout=120)
+        self.f = self.sock.makefile("rwb")
+
+    def call(self, obj):
+        self.f.write(json.dumps(obj).encode() + b"\n")
+        self.f.flush()
+        return json.loads(self.f.readline())
+
+
+@pytest.fixture(scope="module")
+def server():
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    ready = json.loads(proc.stdout.readline())  # readiness line with the bound port
+    yield ready, proc
+    if proc.poll() is None:
+        proc.kill()
+    proc.wait(timeout=30)
+
+
+def test_serve_protocol(server):
+    ready, proc = server
+    assert ready["P"] == 5 and ready["m"] == 100 and ready["n"] == 500
+    cli = Client(ready["host"], ready["port"])
+
+    pong = cli.call({"cmd": "ping"})
+    assert pong["ok"] and pong["K"] == 25
+
+    # real problem: b = A @ y for a sparse y; the served solution must be close
+    A = np.load(os.path.join(RUN, "A.npy"))
+    rng = np.random.default_rng(0)
+    y = 2.0 * rng.standard_normal(500) * (rng.random(500) <= 0.25)
+    b = np.einsum("pmn,n->pm", A, y)
+
+    one = cli.call({"b": b.tolist()})  # single sample [P, m]
+    assert one["batch"] == 1 and one["K"] == 25
+    y_hat = np.asarray(one["y_hat"])[0]
+    nmse = np.sum((y_hat - y) ** 2) / np.sum(y ** 2)
+    assert nmse < 0.6  # imported reference table converges (PARITY: ~0.25 loss)
+
+    # batch larger than max_batch exercises chunking + padding
+    B = 6
+    ys = 2.0 * rng.standard_normal((B, 500)) * (rng.random((B, 500)) <= 0.25)
+    bs = np.einsum("pmn,bn->bpm", A, ys)
+    resp = cli.call({"b": bs.tolist()})
+    assert resp["batch"] == B and len(resp["y_hat"]) == B
+
+    # topology override changes the consensus path but must still solve
+    adj = np.zeros((5, 5)); adj[0, 1:] = adj[1:, 0] = 1  # star graph
+    resp2 = cli.call({"b": b.tolist(), "adj": adj.tolist()})
+    assert len(resp2["y_hat"]) == 1
+    assert np.isfinite(np.asarray(resp2["y_hat"])).all()
+
+    # malformed request gets an error response, not a dead server
+    bad = cli.call({"b": [[1.0, 2.0]]})
+    assert "error" in bad
+    assert cli.call({"cmd": "ping"})["ok"]
+
+    assert cli.call({"cmd": "shutdown"})["shutdown"]
+    proc.wait(timeout=60)
+    assert proc.returncode == 0
