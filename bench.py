@@ -120,14 +120,23 @@ def bench_tpu():
 
     # Training step (value+grad through the K-scan with in-scan loss reduction) at
     # the headline shape — the production training path, not just the forward unroll.
-    if time.monotonic() < deadline:
+    # Three variants: the default remat'd fp32 path, no-remat (activations stored —
+    # trades the backward's forward-recompute for HBM; fits at this shape), and
+    # bf16-fed MXU matvecs (f32 accumulation) through both passes.
+    label = jax.random.normal(jax.random.key(11), (B, N), jnp.float32)
+    for tag, tkw in (
+        ("train_fwd_bwd_factored", {"remat": True}),
+        ("train_fwd_bwd_noremat", {"remat": False}),
+        ("train_fwd_bwd_bf16mm", {"remat": True, "matmul_dtype": "bfloat16"}),
+    ):
+        if time.monotonic() > deadline:
+            print(f"skipping {tag}: bench budget exhausted", file=sys.stderr, flush=True)
+            continue
         try:
-            label = jax.random.normal(jax.random.key(11), (B, N), jnp.float32)
-
-            def train_loss(tb):
+            def train_loss(tb, _tkw=tkw):
                 per_kp = dadmm_core.unroll_table_losses(
                     state, tb, None, Atb, adj, label,
-                    nan_guard=False, remat=True, A=A, gram_mode="factored")
+                    nan_guard=False, A=A, gram_mode="factored", **_tkw)
                 return jnp.mean(per_kp[-1])
 
             gstep = jax.jit(jax.value_and_grad(train_loss))
@@ -137,11 +146,11 @@ def bench_tpu():
             # the fastest forward-only variant measured above — a much tighter floor
             # than HBM bytes (a 72k iter/s tunnel anomaly once cleared the byte bound).
             fwd_spu = [v[1] for v in variants.values() if v is not None]
-            variants["train_fwd_bwd_factored"] = time_loop(
-                lambda tb: gstep(tb)[0], (table,), Y_BYTES // 2, "train_fwd_bwd",
+            variants[tag] = time_loop(
+                lambda tb, _g=gstep: _g(tb)[0], (table,), Y_BYTES // 2, tag,
                 min_s_per_unroll=min(fwd_spu) if fwd_spu else 0.0)
         except Exception as e:  # noqa: BLE001
-            print(f"variant train_fwd_bwd failed: {e}", file=sys.stderr, flush=True)
+            print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
 
     # Reference-shape config (small agent count, like the paper benchmarks): P=8.
     # Also times the VMEM-resident factored Pallas kernel here — the shape where its

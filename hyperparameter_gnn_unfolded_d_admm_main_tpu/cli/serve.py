@@ -14,12 +14,13 @@ TCP socket:
 Request (one JSON object per line):
     {"b": [[...m floats...] x P]}                 one sample, or
     {"b": [[[...]] x B]}                          a batch [B, P, m]
-    optional "adj": [[0/1 x P] x P]               topology override (defaults to the
-                                                  run's fixed/recovered graph; GNN-family
+    optional "adj": [[0/1 x P] x P] or [B x P x P] topology override, shared or
+                                                  per-sample (defaults to the run's
+                                                  fixed/recovered graph; GNN-family
                                                   runs sample a fresh connected graph)
 Response:
-    {"y_hat": [B x n], "y_agents_shape": [K,B,P,n], "batch": B, "K": K,
-     "latency_ms": ...}       y_hat = final-iteration consensus (mean over agents)
+    {"y_hat": [B x n], "batch": B, "K": K, "latency_ms": ...}
+    y_hat = final-iteration consensus (mean over agents)
 
 `{"cmd": "ping"}` health-checks, `{"cmd": "shutdown"}` stops the server. Serving knobs
 (`--dtype bfloat16`, `--gram_mode factored`) match `cli.evaluate`'s.
@@ -109,21 +110,32 @@ class _Solver:
         B = b_np.shape[0]
         if b_np.shape[1:] != (self.P, self.m):
             raise ValueError(f"b must be [B,{self.P},{self.m}], got {list(b_np.shape)}")
+        if adj_np is not None:
+            if adj_np.shape == (self.P, self.P):  # one topology for the whole request
+                adj_np = np.broadcast_to(adj_np, (B, self.P, self.P))
+            elif adj_np.shape != (B, self.P, self.P):
+                raise ValueError(f"adj must be [{self.P},{self.P}] or "
+                                 f"[B,{self.P},{self.P}], got {list(adj_np.shape)}")
         out = []
         with self._lock:
             for lo in range(0, B, self.max_batch):
                 chunk = b_np[lo:lo + self.max_batch]
-                pad = self.max_batch - chunk.shape[0]
+                n_real = chunk.shape[0]
+                pad = self.max_batch - n_real
                 if pad:  # pad to the compiled batch, slice the answer back
                     chunk = np.concatenate([chunk, np.zeros((pad, self.P, self.m),
                                                             chunk.dtype)])
                 adj = self.default_adj
-                if adj_np is not None:
-                    adj = np.broadcast_to(adj_np, (self.max_batch, self.P, self.P))
+                if adj_np is not None:  # chunk the per-sample topologies alongside b
+                    a_chunk = adj_np[lo:lo + self.max_batch]
+                    if pad:
+                        a_chunk = np.concatenate(
+                            [a_chunk, np.repeat(a_chunk[-1:], pad, axis=0)])
+                    adj = a_chunk
                 Y = self._fn(self._key, jnp.asarray(chunk, jnp.float32),
                              jnp.asarray(adj, jnp.float32))
                 y_hat = np.asarray(jnp.mean(Y[-1], axis=1))  # consensus over agents
-                out.append(y_hat[: self.max_batch - pad if pad else self.max_batch])
+                out.append(y_hat[:n_real])
         return np.concatenate(out), B
 
 
@@ -188,6 +200,9 @@ def main(argv=None):
 
     server_ref: dict = {}
     socketserver.ThreadingTCPServer.allow_reuse_address = True
+    # Handler threads block reading their sockets; without daemon_threads the
+    # server_close() join would hang shutdown while any client stays connected.
+    socketserver.ThreadingTCPServer.daemon_threads = True
     server = socketserver.ThreadingTCPServer(
         (opts.get("--host", "127.0.0.1"), int(opts.get("--port", 8763))),
         _make_handler(solver, server_ref))

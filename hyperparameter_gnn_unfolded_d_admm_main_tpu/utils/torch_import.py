@@ -26,7 +26,6 @@ the one the imported table solves best — the recovered adjacency is stored as
 from __future__ import annotations
 
 import itertools
-import json
 import os
 from typing import Dict, Optional, Tuple
 
@@ -85,24 +84,36 @@ def candidate_graphs(P: int, prob: float, max_candidates: int = 1024,
                      seed: int = 0) -> np.ndarray:
     """Connected candidate adjacencies `[G, P, P]`.
 
-    P <= 5: ALL connected labeled graphs (e.g. 728 of the 1024 5-node graphs), so the
-    true training topology is guaranteed to be among the candidates. Larger P: sampled.
+    Small edge spaces (P <= 5 at the default budget): ALL connected labeled graphs
+    (e.g. 728 of the 1024 5-node graphs), so the true training topology is guaranteed
+    to be among the candidates. Larger P: ER-sampled at the run's edge probability
+    (the training distribution), deduplicated.
     """
     pairs = list(itertools.combinations(range(P), 2))
     n_edges = len(pairs)
-    out = []
-    if 2 ** n_edges <= max_candidates:
-        masks = range(1, 2 ** n_edges)
+    out, seen = [], set()
+    if n_edges < 63 and 2 ** n_edges <= max_candidates:
+        for mask in range(1, 2 ** n_edges):
+            adj = np.zeros((P, P), np.float32)
+            for e, (i, j) in enumerate(pairs):
+                if (mask >> e) & 1:
+                    adj[i, j] = adj[j, i] = 1.0
+            if _connected(adj):
+                out.append(adj)
     else:
         rng = np.random.default_rng(seed)
-        masks = rng.integers(1, 2 ** n_edges, size=max_candidates, dtype=np.int64)
-    for mask in masks:
-        adj = np.zeros((P, P), np.float32)
-        for e, (i, j) in enumerate(pairs):
-            if (int(mask) >> e) & 1:
-                adj[i, j] = adj[j, i] = 1.0
-        if _connected(adj):
-            out.append(adj)
+        for _ in range(max_candidates):
+            bits = rng.random(n_edges) < prob
+            key = bits.tobytes()
+            if key in seen:
+                continue
+            seen.add(key)
+            adj = np.zeros((P, P), np.float32)
+            for e, (i, j) in enumerate(pairs):
+                if bits[e]:
+                    adj[i, j] = adj[j, i] = 1.0
+            if _connected(adj):
+                out.append(adj)
     return np.stack(out)
 
 
@@ -112,36 +123,43 @@ def recover_training_graph(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Find the fixed topology an imported per-agent table was trained against.
 
-    Evaluates the table's final-layer loss on every candidate graph in ONE batched
-    unroll (graphs tiled into the batch axis — topology is data here, so a single
-    compiled program scores all candidates) and returns
-    (best adjacency [P,P], per-candidate losses [G]).
+    Evaluates the table's final-layer loss on the candidate graphs batched into the
+    batch axis (topology is data here, so one compiled program scores a whole block
+    of candidates; blocks of 64 bound host memory — Y is [K, G_blk*S, P, n]) and
+    returns (best adjacency [P,P], per-candidate losses [G]). Scoring runs with
+    training=False so the selected graph is optimal for the exact table that
+    `cli.evaluate`/`cli.serve` execute.
     """
     import jax
     import jax.numpy as jnp
 
     from ..models.unfolded import UnfoldedDLASSO
     from ..ops import data as data_ops
-    from ..train import losses as losses_lib
 
     cands = candidate_graphs(cfg.P, cfg.graph_prob, max_candidates)
-    G = cands.shape[0]
     A = jnp.asarray(A)
     model = UnfoldedDLASSO(A, cfg)
     key = jax.random.key(data_seed)
     k_data, k_state = jax.random.split(key)
     b, y = data_ops.make_dataset(k_data, A, num_samples, cfg.snr, noise=cfg.data_noise)
-    # Tile: batch axis carries (graph, sample) pairs — [G*S, ...].
-    b_t = jnp.tile(b, (G, 1, 1))
-    adj_t = jnp.repeat(jnp.asarray(cands), num_samples, axis=0)
 
-    Y, _ = jax.jit(lambda p, k, b_, a_: model.apply(p, k, b_, a_, training=True))(
-        {"seq_hyp": jnp.asarray(raw)}, k_state, b_t, adj_t)
-    yK = Y[-1].reshape(G, num_samples, cfg.P, cfg.n)
-    diff = yK - jnp.tile(y, (G, 1, 1))[:, :, None, :]
-    per_graph = np.asarray(jnp.mean(diff * diff, axis=(1, 2, 3)))
+    G_BLK = 64
+    apply = jax.jit(lambda p, k, b_, a_: model.apply(p, k, b_, a_, training=False)[0])
+    params = {"seq_hyp": jnp.asarray(raw)}
+    scores = []
+    for lo in range(0, cands.shape[0], G_BLK):
+        blk = cands[lo:lo + G_BLK]
+        g = blk.shape[0]
+        if g < G_BLK and lo:  # pad the tail block to the compiled candidate count
+            blk = np.concatenate([blk, np.repeat(blk[-1:], G_BLK - g, axis=0)])
+        b_t = jnp.tile(b, (blk.shape[0], 1, 1))
+        adj_t = jnp.repeat(jnp.asarray(blk), num_samples, axis=0)
+        Y = apply(params, k_state, b_t, adj_t)
+        yK = Y[-1].reshape(blk.shape[0], num_samples, cfg.P, cfg.n)
+        diff = yK - jnp.asarray(y)[None, :, None, :]
+        scores.append(np.asarray(jnp.mean(diff * diff, axis=(1, 2, 3)))[:g])
+    per_graph = np.concatenate(scores)
     best = int(np.argmin(per_graph))
-    del losses_lib
     return cands[best], per_graph
 
 
@@ -158,7 +176,7 @@ def import_unfolded_run(
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "A.npy"), A)
     with open(os.path.join(out_dir, "args.json"), "w") as f:
-        json.dump(cfg.__dict__, f, indent=2, sort_keys=True, default=str)
+        f.write(cfg.to_json())
     meta = {"imported_from": os.path.abspath(src_dir), "epoch": "imported"}
     info: Dict = {"out_dir": out_dir, "K": int(raw.shape[0]), "P": cfg.P,
                   "mode": cfg.DADMM_mode}

@@ -82,11 +82,24 @@ def test_serve_protocol(server):
     assert len(resp2["y_hat"]) == 1
     assert np.isfinite(np.asarray(resp2["y_hat"])).all()
 
+    # per-sample topologies chunk alongside b across compiled-batch boundaries:
+    # all-same-graph via the batched path must equal the shared-graph path exactly
+    adj_b = np.broadcast_to(adj, (B, 5, 5))
+    r_shared = cli.call({"b": bs.tolist(), "adj": adj.tolist()})
+    r_batched = cli.call({"b": bs.tolist(), "adj": adj_b.tolist()})
+    np.testing.assert_allclose(r_batched["y_hat"], r_shared["y_hat"], atol=1e-6)
+    # wrong per-sample count is a protocol error, not silent reuse
+    assert "error" in cli.call({"b": bs.tolist(),
+                                "adj": adj_b[: B - 1].tolist()})
+
     # malformed request gets an error response, not a dead server
     bad = cli.call({"b": [[1.0, 2.0]]})
     assert "error" in bad
     assert cli.call({"cmd": "ping"})["ok"]
 
+    # shutdown must complete even while another client holds an idle connection
+    idle = Client(ready["host"], ready["port"])
+    assert idle.call({"cmd": "ping"})["ok"]
     assert cli.call({"cmd": "shutdown"})["shutdown"]
     proc.wait(timeout=60)
     assert proc.returncode == 0
