@@ -22,6 +22,10 @@ Response:
     {"y_hat": [B x n], "batch": B, "K": K, "latency_ms": ...}
     y_hat = final-iteration consensus (mean over agents)
 
+dlr runs (the saved config's `case` is "dlr") serve the regression fit instead:
+    {"x": [B x P x d], "y": [B x P]}  ->  {"a": [B x P x d], "w": [B x P], ...}
+where (a, w) are the per-agent fitted weights/bias after the K-iteration unroll.
+
 `{"cmd": "ping"}` health-checks, `{"cmd": "shutdown"}` stops the server. Serving knobs
 (`--dtype bfloat16`, `--gram_mode factored`) match `cli.evaluate`'s.
 """
@@ -54,11 +58,12 @@ class _Solver:
             cfg = Config.from_json(f.read())
         for k, v in overrides.items():
             cfg = cfg.replace(**{k: v})
-        if cfg.case == "dlr":
-            raise SystemExit("serve currently covers the dlasso families; use "
-                             "cli.evaluate for dlr runs")
         self.cfg = cfg
+        self.case = cfg.case
         self.max_batch = max_batch
+        if cfg.case == "dlr":
+            self._init_dlr(run_dir, ckpt_name)
+            return
         A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
         self.P, self.m, self.n = A.shape
 
@@ -96,12 +101,119 @@ class _Solver:
         self._lock = threading.Lock()  # jit dispatch is thread-safe but keep FIFO
         self.warmup()
 
+    def _init_dlr(self, run_dir: str, ckpt_name: str):
+        """dlr family: the "solve" is a distributed regression fit — request carries
+        per-agent features x and targets y, the response the fitted (a, w) weights."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models import seq_hyperparam
+        from ..models.unfolded_dlr import (DLRGNNHyp, DLRGNNHypOneShot, UnfoldedDLR,
+                                           init_state, unroll_table)
+        from ..ops import graphs
+        from ..utils import checkpoint as ckpt
+
+        cfg = self.cfg
+        self.P, self.m, self.n = cfg.P, cfg.n, cfg.n  # m := feature dim d for dlr
+        ckpt_dir = os.path.join(run_dir, ckpt_name)
+        one = graphs.sample_er_adjacency(
+            np.random.default_rng(int(cfg.seed)), cfg.P, cfg.graph_prob)
+        self.default_adj = np.broadcast_to(
+            one, (self.max_batch, cfg.P, cfg.P)).copy()
+
+        if cfg.hyp_mode == "GHyp":
+            model = DLRGNNHyp(cfg.P, cfg.n, cfg)
+            params, norm_state = model.init(jax.random.key(0))
+            tree, _ = ckpt.restore_partial(
+                ckpt_dir, {"params": params, "norm_state": norm_state})
+
+            def fn(key, x, y, adj):
+                _, _, st = model.apply_losses(
+                    tree["params"], tree["norm_state"], key, x, y, adj,
+                    training=False, return_state=True)
+                return st.a, st.w
+        else:
+            model_cls = DLRGNNHypOneShot if cfg.hyp_mode == "GHyp1" else UnfoldedDLR
+            model = model_cls(cfg.P, cfg.n, cfg)
+            params = model.init()
+            tree, _ = ckpt.restore_partial(ckpt_dir, {"params": params})
+
+            def fn(key, x, y, adj):
+                if cfg.hyp_mode == "GHyp1":
+                    table = model.table(tree["params"], x, y, adj, training=False)
+                else:
+                    table = seq_hyperparam.hyp_table(
+                        tree["params"]["seq_hyp"], model.max_param, training=False)
+                st0 = init_state(key, x.shape[0], cfg.P, cfg.n, dtype=x.dtype)
+                st, _ = unroll_table(st0, table, x, y, adj, remat=cfg.remat)
+                return st.a, st.w
+
+        self._fn = jax.jit(fn)
+        self._key = jax.random.key(int(cfg.seed) + 777)
+        self._jnp, self._np, self._jax = jnp, np, jax
+        self._lock = threading.Lock()
+        self.warmup()
+
     def warmup(self):
         np, jnp = self._np, self._jnp
+        if self.case == "dlr":
+            x = jnp.zeros((self.max_batch, self.P, self.m), jnp.float32)
+            y = jnp.zeros((self.max_batch, self.P, 1), jnp.float32)
+            out = self._fn(self._key, x, y,
+                           jnp.asarray(self.default_adj, jnp.float32))
+            self._jax.block_until_ready(out)
+            self.K = int(self.cfg.GHN_iter_num)
+            return
         b = jnp.zeros((self.max_batch, self.P, self.m), jnp.float32)
         Y = self._fn(self._key, b, jnp.asarray(self.default_adj, jnp.float32))
         self._jax.block_until_ready(Y)
         self.K = int(Y.shape[0])
+
+    def solve_dlr(self, x_np, y_np, adj_np=None):
+        """Fit the distributed regression: returns (a [B,P,d], w [B,P]) fitted per
+        agent, chunked/padded to the compiled batch like `solve`."""
+        np, jnp = self._np, self._jnp
+        if x_np.ndim == 2:
+            x_np = x_np[None]
+        if y_np.ndim == 1:
+            y_np = y_np[None]
+        if y_np.ndim == 2:
+            y_np = y_np[..., None]
+        B = x_np.shape[0]
+        if x_np.shape[1:] != (self.P, self.m) or y_np.shape != (B, self.P, 1):
+            raise ValueError(
+                f"x must be [B,{self.P},{self.m}] and y [B,{self.P}], got "
+                f"{list(x_np.shape)} / {list(y_np.shape)}")
+        if adj_np is not None:
+            if adj_np.shape == (self.P, self.P):
+                adj_np = np.broadcast_to(adj_np, (B, self.P, self.P))
+            elif adj_np.shape != (B, self.P, self.P):
+                raise ValueError(f"adj must be [{self.P},{self.P}] or "
+                                 f"[B,{self.P},{self.P}], got {list(adj_np.shape)}")
+        a_out, w_out = [], []
+        with self._lock:
+            for lo in range(0, B, self.max_batch):
+                xc = x_np[lo:lo + self.max_batch]
+                yc = y_np[lo:lo + self.max_batch]
+                n_real = xc.shape[0]
+                pad = self.max_batch - n_real
+                if pad:
+                    xc = np.concatenate([xc, np.zeros((pad, self.P, self.m), xc.dtype)])
+                    yc = np.concatenate([yc, np.zeros((pad, self.P, 1), yc.dtype)])
+                adj = self.default_adj
+                if adj_np is not None:  # chunk per-sample topologies alongside x/y
+                    a_chunk = adj_np[lo:lo + self.max_batch]
+                    if pad:
+                        a_chunk = np.concatenate(
+                            [a_chunk, np.repeat(a_chunk[-1:], pad, axis=0)])
+                    adj = a_chunk
+                a, w = self._fn(self._key, jnp.asarray(xc, jnp.float32),
+                                jnp.asarray(yc, jnp.float32),
+                                jnp.asarray(adj, jnp.float32))
+                a_out.append(np.asarray(a)[:n_real])
+                w_out.append(np.asarray(w)[:n_real, :, 0])
+        return np.concatenate(a_out), np.concatenate(w_out), B
 
     def solve(self, b_np, adj_np=None):
         np, jnp = self._np, self._jnp
@@ -161,6 +273,16 @@ def _make_handler(solver: _Solver, server_ref: dict):
                         threading.Thread(
                             target=server_ref["server"].shutdown, daemon=True).start()
                         return
+                    elif solver.case == "dlr":
+                        x = np.asarray(req["x"], np.float32)
+                        y = np.asarray(req["y"], np.float32)
+                        adj = (np.asarray(req["adj"], np.float32)
+                               if "adj" in req else None)
+                        a, w, B = solver.solve_dlr(x, y, adj)
+                        resp = {"a": a.tolist(), "w": w.tolist(), "batch": B,
+                                "K": solver.K,
+                                "latency_ms": round(
+                                    (time.perf_counter() - t0) * 1e3, 3)}
                     else:
                         b = np.asarray(req["b"], np.float32)
                         adj = (np.asarray(req["adj"], np.float32)

@@ -213,8 +213,11 @@ class DLRGNNHyp:
         adj: jax.Array,
         K: Optional[int] = None,
         training: bool = True,
+        return_state: bool = False,
     ):
-        """Returns (per-iteration per-agent MSE [K, P], new norm state)."""
+        """Returns (per-iteration per-agent MSE [K, P], new norm state)
+        [+ final DLRState when return_state — the serving path needs the fitted
+        weights, not just the loss curve]."""
         from ..ops import graphs as graph_ops
 
         K = self.K if K is None else min(K, self.K)
@@ -267,6 +270,8 @@ class DLRGNNHyp:
         (st, bn_state), per_kp = jax.lax.scan(
             body, (st0, state), jnp.arange(K, dtype=jnp.int32)
         )
+        if return_state:
+            return per_kp, bn_state, st
         return per_kp, bn_state
 
 

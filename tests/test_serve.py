@@ -103,3 +103,56 @@ def test_serve_protocol(server):
     assert cli.call({"cmd": "shutdown"})["shutdown"]
     proc.wait(timeout=60)
     assert proc.returncode == 0
+
+
+DLR_RUN = os.path.join(os.path.dirname(__file__), os.pardir, "results_parity",
+                       "dlr_ghyp1", "20260818_225615_unfolded_dlr")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(DLR_RUN, "best", "state.msgpack")),
+    reason="trained dlr run not present",
+)
+def test_serve_dlr_family():
+    """dlr runs serve the regression fit: {x, y} -> fitted per-agent (a, w)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         DLR_RUN, "--device", "cpu", "--port", "0", "--max_batch", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        P, d = ready["P"], ready["m"]
+        assert (P, d) == (5, 50)
+        cli = Client(ready["host"], ready["port"])
+        assert cli.call({"cmd": "ping"})["ok"]
+
+        # a shared linear model y = x.a + w must be fit well by the trained run;
+        # sample at the training distribution (ops/data.py:make_dlr_dataset):
+        # x ~ N(0,1)/sqrt(d), a* ~ N(0,1), intercept ~ N(0,1)
+        rng = np.random.default_rng(0)
+        B = 6  # > max_batch exercises chunking + padding
+        a_true = rng.standard_normal(d)
+        x = rng.standard_normal((B, P, d)) / np.sqrt(d)
+        y = x @ a_true + 0.3
+        resp = cli.call({"x": x.tolist(), "y": y.tolist()})
+        assert resp["batch"] == B and resp["K"] == ready["K"]
+        a = np.asarray(resp["a"])
+        w = np.asarray(resp["w"])
+        assert a.shape == (B, P, d) and w.shape == (B, P)
+        pred = np.einsum("bpd,bpd->bp", x, a) + w
+        fit_mse = np.mean((pred - y) ** 2)
+        assert fit_mse < 0.25 * np.var(y)  # clearly better than predicting the mean
+
+        # dlasso-style request against a dlr run is an error, not a crash
+        assert "error" in cli.call({"b": x[0].tolist()})
+        assert cli.call({"cmd": "ping"})["ok"]
+        assert cli.call({"cmd": "shutdown"})["shutdown"]
+        proc.wait(timeout=60)
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
