@@ -117,8 +117,9 @@ def main(argv=None):
     # directory-name suffix kept as a fallback for runs saved before that.
     is_gnn = cfg.hyp_mode in ("GHyp", "GHyp1") or os.path.basename(
         os.path.normpath(run_dir)).endswith("progressive")
-    if is_gnn:
-        # GNN runs train on fresh per-sample connected graphs; evaluate likewise.
+    if is_gnn or getattr(cfg, "graph_mode", "fixed") == "fresh":
+        # GNN runs — and scalar-table runs trained with --graph_mode fresh — train on
+        # fresh per-sample connected graphs; evaluate likewise.
         adj = jnp.asarray(
             graphs.fast_sample_connected_er(int(cfg.seed) + 7, test_size, cfg.P,
                                             max(cfg.graph_prob, 0.3))

@@ -59,9 +59,18 @@ class _Solver:
         for k, v in overrides.items():
             cfg = cfg.replace(**{k: v})
         self.cfg = cfg
-        self.case = cfg.case
         self.max_batch = max_batch
-        if cfg.case == "dlr":
+        # Family dispatch mirrors cli.evaluate: args.json's `case` (recorded by the
+        # dlr loop), with the directory-name suffix as a fallback for run dirs saved
+        # before `case` was recorded.
+        is_dlr = (cfg.case == "dlr" or
+                  os.path.basename(os.path.normpath(run_dir)).endswith("unfolded_dlr"))
+        self.case = "dlr" if is_dlr else cfg.case
+        if is_dlr:
+            if overrides:
+                print("note: dlr serving currently runs dense float32 — "
+                      "--dtype/--gram_mode are ignored for this family",
+                      file=sys.stderr)
             self._init_dlr(run_dir, ckpt_name)
             return
         A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
@@ -90,10 +99,17 @@ class _Solver:
             gp = os.path.join(run_dir, "graph.npy")
             if os.path.exists(gp):  # imported/recovered topology (cli.import_torch)
                 one = np.load(gp)
+                self.default_adj = np.broadcast_to(
+                    one, (max_batch, cfg.P, cfg.P)).copy()
+            elif getattr(cfg, "graph_mode", "fixed") == "fresh":
+                # run trained on fresh per-sample topologies — serve likewise
+                self.default_adj = np.asarray(graphs.fast_sample_connected_er(
+                    int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, 0.3)))
             else:                   # the run's fixed training graph, from its seed
                 one = graphs.sample_er_adjacency(
                     np.random.default_rng(int(cfg.seed)), cfg.P, cfg.graph_prob)
-            self.default_adj = np.broadcast_to(one, (max_batch, cfg.P, cfg.P)).copy()
+                self.default_adj = np.broadcast_to(
+                    one, (max_batch, cfg.P, cfg.P)).copy()
         self._key = jax.random.key(int(cfg.seed) + 777)
         self._jnp = jnp
         self._np = np
@@ -139,12 +155,17 @@ class _Solver:
             params = model.init()
             tree, _ = ckpt.restore_partial(ckpt_dir, {"params": params})
 
+            # training=True matches cli.evaluate and the training loop's eval_step
+            # (the table tiers' anti-saturation rescale is part of the validated
+            # model), so served fits reproduce the reported metrics exactly.
             def fn(key, x, y, adj):
                 if cfg.hyp_mode == "GHyp1":
-                    table = model.table(tree["params"], x, y, adj, training=False)
+                    table = model.table(tree["params"], x, y, adj, training=True)
                 else:
                     table = seq_hyperparam.hyp_table(
-                        tree["params"]["seq_hyp"], model.max_param, training=False)
+                        tree["params"]["seq_hyp"], model.max_param, training=True,
+                        max_penalty_threshold=cfg.max_penalty_threshold,
+                        penalty_reduction_factor=cfg.penalty_reduction_factor)
                 st0 = init_state(key, x.shape[0], cfg.P, cfg.n, dtype=x.dtype)
                 st, _ = unroll_table(st0, table, x, y, adj, remat=cfg.remat)
                 return st.a, st.w
@@ -170,6 +191,46 @@ class _Solver:
         self._jax.block_until_ready(Y)
         self.K = int(Y.shape[0])
 
+    def _validated_adj(self, adj_np, B):
+        """Broadcast a shared [P,P] topology to [B,P,P]; reject anything else."""
+        np = self._np
+        if adj_np is None:
+            return None
+        if adj_np.shape == (self.P, self.P):  # one topology for the whole request
+            return np.broadcast_to(adj_np, (B, self.P, self.P))
+        if adj_np.shape != (B, self.P, self.P):
+            raise ValueError(f"adj must be [{self.P},{self.P}] or "
+                             f"[B,{self.P},{self.P}], got {list(adj_np.shape)}")
+        return adj_np
+
+    def _iter_chunks(self, B, arrays, adj_np):
+        """Yield (per-chunk arrays padded to the compiled batch, adj chunk, n_real).
+
+        Requests are padded/chunked to the ONE compiled batch shape — the TPU
+        serving discipline that keeps the server at a single compiled program.
+        Per-sample topologies chunk alongside the payload (padding repeats the
+        last row; padded samples are sliced off the answer)."""
+        np = self._np
+        for lo in range(0, B, self.max_batch):
+            chunks, n_real = [], None
+            for arr in arrays:
+                c = arr[lo:lo + self.max_batch]
+                n_real = c.shape[0]
+                pad = self.max_batch - n_real
+                if pad:
+                    c = np.concatenate(
+                        [c, np.zeros((pad,) + c.shape[1:], c.dtype)])
+                chunks.append(c)
+            adj = self.default_adj
+            if adj_np is not None:
+                a_chunk = adj_np[lo:lo + self.max_batch]
+                pad = self.max_batch - a_chunk.shape[0]
+                if pad:
+                    a_chunk = np.concatenate(
+                        [a_chunk, np.repeat(a_chunk[-1:], pad, axis=0)])
+                adj = a_chunk
+            yield chunks, adj, n_real
+
     def solve_dlr(self, x_np, y_np, adj_np=None):
         """Fit the distributed regression: returns (a [B,P,d], w [B,P]) fitted per
         agent, chunked/padded to the compiled batch like `solve`."""
@@ -185,29 +246,10 @@ class _Solver:
             raise ValueError(
                 f"x must be [B,{self.P},{self.m}] and y [B,{self.P}], got "
                 f"{list(x_np.shape)} / {list(y_np.shape)}")
-        if adj_np is not None:
-            if adj_np.shape == (self.P, self.P):
-                adj_np = np.broadcast_to(adj_np, (B, self.P, self.P))
-            elif adj_np.shape != (B, self.P, self.P):
-                raise ValueError(f"adj must be [{self.P},{self.P}] or "
-                                 f"[B,{self.P},{self.P}], got {list(adj_np.shape)}")
+        adj_np = self._validated_adj(adj_np, B)
         a_out, w_out = [], []
         with self._lock:
-            for lo in range(0, B, self.max_batch):
-                xc = x_np[lo:lo + self.max_batch]
-                yc = y_np[lo:lo + self.max_batch]
-                n_real = xc.shape[0]
-                pad = self.max_batch - n_real
-                if pad:
-                    xc = np.concatenate([xc, np.zeros((pad, self.P, self.m), xc.dtype)])
-                    yc = np.concatenate([yc, np.zeros((pad, self.P, 1), yc.dtype)])
-                adj = self.default_adj
-                if adj_np is not None:  # chunk per-sample topologies alongside x/y
-                    a_chunk = adj_np[lo:lo + self.max_batch]
-                    if pad:
-                        a_chunk = np.concatenate(
-                            [a_chunk, np.repeat(a_chunk[-1:], pad, axis=0)])
-                    adj = a_chunk
+            for (xc, yc), adj, n_real in self._iter_chunks(B, (x_np, y_np), adj_np):
                 a, w = self._fn(self._key, jnp.asarray(xc, jnp.float32),
                                 jnp.asarray(yc, jnp.float32),
                                 jnp.asarray(adj, jnp.float32))
@@ -222,28 +264,10 @@ class _Solver:
         B = b_np.shape[0]
         if b_np.shape[1:] != (self.P, self.m):
             raise ValueError(f"b must be [B,{self.P},{self.m}], got {list(b_np.shape)}")
-        if adj_np is not None:
-            if adj_np.shape == (self.P, self.P):  # one topology for the whole request
-                adj_np = np.broadcast_to(adj_np, (B, self.P, self.P))
-            elif adj_np.shape != (B, self.P, self.P):
-                raise ValueError(f"adj must be [{self.P},{self.P}] or "
-                                 f"[B,{self.P},{self.P}], got {list(adj_np.shape)}")
+        adj_np = self._validated_adj(adj_np, B)
         out = []
         with self._lock:
-            for lo in range(0, B, self.max_batch):
-                chunk = b_np[lo:lo + self.max_batch]
-                n_real = chunk.shape[0]
-                pad = self.max_batch - n_real
-                if pad:  # pad to the compiled batch, slice the answer back
-                    chunk = np.concatenate([chunk, np.zeros((pad, self.P, self.m),
-                                                            chunk.dtype)])
-                adj = self.default_adj
-                if adj_np is not None:  # chunk the per-sample topologies alongside b
-                    a_chunk = adj_np[lo:lo + self.max_batch]
-                    if pad:
-                        a_chunk = np.concatenate(
-                            [a_chunk, np.repeat(a_chunk[-1:], pad, axis=0)])
-                    adj = a_chunk
+            for (chunk,), adj, n_real in self._iter_chunks(B, (b_np,), adj_np):
                 Y = self._fn(self._key, jnp.asarray(chunk, jnp.float32),
                              jnp.asarray(adj, jnp.float32))
                 y_hat = np.asarray(jnp.mean(Y[-1], axis=1))  # consensus over agents

@@ -51,6 +51,11 @@ class Config:
     P: int = 5                         # number of agents
     graph_prob: float = 0.5            # ER edge probability
     graph_type: str = "erods_renyi"
+    graph_mode: str = "fixed"          # unfolded-table driver: {'fixed', 'fresh'} —
+                                       # 'fixed' = one graph for every batch
+                                       # (reference unfolded_train_new.py:56); 'fresh'
+                                       # = new connected per-sample graphs each step
+                                       # (the reference csv_folder2 baseline regime)
 
     # --- D-ADMM (reference configurations.py:67-92) ---
     case: str = "dlasso"               # {'dlasso', 'dlr'}

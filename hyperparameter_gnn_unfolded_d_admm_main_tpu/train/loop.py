@@ -114,10 +114,21 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
     tx = optim.make_optimizer("adam", cfg.lr)
     opt_state = tx.init(params)
 
-    adj = _fixed_graph_batch(int(cfg.seed), cfg.batch_size, cfg.P, cfg.graph_prob)
+    # Topology regime: ONE fixed graph for every batch (reference
+    # `unfolded_train_new.py:56`), or fresh connected per-sample graphs each step
+    # (--graph_mode fresh — the regime of the reference's csv_folder2 baseline).
+    # The graph batch is a plain [B,P,P] input to the jitted step either way: same
+    # compiled program, no retrace per topology.
+    fresh_graphs = cfg.graph_mode == "fresh"
+    fixed_adj = _fixed_graph_batch(int(cfg.seed), cfg.batch_size, cfg.P, cfg.graph_prob)
+    if fresh_graphs:
+        get_graphs, close_graphs = _make_graph_source(cfg, cfg.batch_size)
+    else:
+        get_graphs, close_graphs = (lambda seed: fixed_adj), (lambda: None)
+    graph_seed = int(cfg.seed) * 100_003 + 17
 
     @jax.jit
-    def train_step(params, opt_state, key, b, y):
+    def train_step(params, opt_state, key, b, adj, y):
         def loss_fn(p):
             # In-scan loss reduction — no stacked-Y materialization on the train path.
             per_kp, hyp = model.apply_losses(p, key, b, adj, y, training=True)
@@ -129,7 +140,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         return optax.apply_updates(params, updates), opt_state, lm, lf, hyp
 
     @jax.jit
-    def eval_step(params, key, b, y):
+    def eval_step(params, key, b, adj, y):
         # Reference validation never calls model.eval() (`unfolded_train_new.py:102-125`),
         # so the table penalty stays active: training=True here is parity, not a bug.
         Y, hyp = model.apply(params, key, b, adj, training=True)
@@ -162,8 +173,11 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         tr_loss, nb = 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
             key, kstep = jax.random.split(key)
+            graph_seed += 1
+            adj = get_graphs(graph_seed)
             with timer:
-                params, opt_state, lm, lf, hyp = train_step(params, opt_state, kstep, b, y)
+                params, opt_state, lm, lf, hyp = train_step(params, opt_state, kstep,
+                                                            b, adj, y)
                 jax.block_until_ready(lf)   # async dispatch: block so the timer sees
                                             # device time, not host dispatch time
             tr_loss += float(lf)
@@ -173,7 +187,9 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         va_loss, va_nmse, nb = 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_va, y_va, cfg.batch_size):
             key, kstep = jax.random.split(key)
-            lm, lf, nm = eval_step(params, kstep, b, y)
+            graph_seed += 1
+            adj = get_graphs(graph_seed)
+            lm, lf, nm = eval_step(params, kstep, b, adj, y)
             va_loss += float(lf)
             va_nmse += float(nm)
             nb += 1
@@ -208,6 +224,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
             log.cprint(f"early stopping at epoch {epoch + 1}")
             break
 
+    close_graphs()
     csv.write(os.path.join(out_dir, "losses.csv"))
     plots.plot_losses(out_dir, csv.column("train_loss"), csv.column("valid_loss"),
                       epochs=csv.column("epoch"))

@@ -105,20 +105,28 @@ def test_serve_protocol(server):
     assert proc.returncode == 0
 
 
-DLR_RUN = os.path.join(os.path.dirname(__file__), os.pardir, "results_parity",
-                       "dlr_ghyp1", "20260818_225615_unfolded_dlr")
+_PARITY = os.path.join(os.path.dirname(__file__), os.pardir, "results_parity")
+# one trained run per learned tier — each takes a distinct path in _Solver._init_dlr
+DLR_RUNS = {
+    "table": os.path.join(_PARITY, "unfolded_dlr", "20260818_060235_unfolded_dlr"),
+    "GHyp": os.path.join(_PARITY, "dlr_ghyp_more_data", "20260819_042101_unfolded_dlr"),
+    "GHyp1": os.path.join(_PARITY, "dlr_ghyp1", "20260818_225615_unfolded_dlr"),
+}
+# fit-MSE gate as a fraction of var(y): each tier must clearly beat predicting the
+# mean; bounds track the recorded val losses (PARITY.md) with headroom
+DLR_FIT_GATE = {"table": 0.35, "GHyp": 0.05, "GHyp1": 0.25}
 
 
-@pytest.mark.skipif(
-    not os.path.exists(os.path.join(DLR_RUN, "best", "state.msgpack")),
-    reason="trained dlr run not present",
-)
-def test_serve_dlr_family():
+@pytest.mark.parametrize("tier", sorted(DLR_RUNS))
+def test_serve_dlr_family(tier):
     """dlr runs serve the regression fit: {x, y} -> fitted per-agent (a, w)."""
+    run = DLR_RUNS[tier]
+    if not os.path.exists(os.path.join(run, "best", "state.msgpack")):
+        pytest.skip("trained dlr run not present")
     proc = subprocess.Popen(
         [sys.executable, "-m",
          "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
-         DLR_RUN, "--device", "cpu", "--port", "0", "--max_batch", "4"],
+         run, "--device", "cpu", "--port", "0", "--max_batch", "4"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         cwd=os.path.join(os.path.dirname(__file__), os.pardir),
     )
@@ -129,14 +137,15 @@ def test_serve_dlr_family():
         cli = Client(ready["host"], ready["port"])
         assert cli.call({"cmd": "ping"})["ok"]
 
-        # a shared linear model y = x.a + w must be fit well by the trained run;
-        # sample at the training distribution (ops/data.py:make_dlr_dataset):
-        # x ~ N(0,1)/sqrt(d), a* ~ N(0,1), intercept ~ N(0,1)
+        # linear models y = x.a* + b* must be fit well by the trained run; sample
+        # at the training distribution (ops/data.py:make_dlr_dataset): per-scenario
+        # a* ~ N(0,1), intercept b* ~ N(0,1), x ~ N(0,1)/sqrt(d)
         rng = np.random.default_rng(0)
         B = 6  # > max_batch exercises chunking + padding
-        a_true = rng.standard_normal(d)
+        a_true = rng.standard_normal((B, d))
+        b_true = rng.standard_normal((B, 1))
         x = rng.standard_normal((B, P, d)) / np.sqrt(d)
-        y = x @ a_true + 0.3
+        y = np.einsum("bpd,bd->bp", x, a_true) + b_true
         resp = cli.call({"x": x.tolist(), "y": y.tolist()})
         assert resp["batch"] == B and resp["K"] == ready["K"]
         a = np.asarray(resp["a"])
@@ -144,7 +153,7 @@ def test_serve_dlr_family():
         assert a.shape == (B, P, d) and w.shape == (B, P)
         pred = np.einsum("bpd,bpd->bp", x, a) + w
         fit_mse = np.mean((pred - y) ** 2)
-        assert fit_mse < 0.25 * np.var(y)  # clearly better than predicting the mean
+        assert fit_mse < DLR_FIT_GATE[tier] * np.var(y)
 
         # dlasso-style request against a dlr run is an error, not a crash
         assert "error" in cli.call({"b": x[0].tolist()})

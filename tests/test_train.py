@@ -87,6 +87,18 @@ def test_train_unfolded_end_to_end(tmp_path):
     assert ckpt.exists(str(tmp_path / "run" / "last"))
 
 
+def test_train_unfolded_fresh_graphs(tmp_path):
+    """--graph_mode fresh trains the scalar table on fresh per-sample topologies
+    each step (the reference csv_folder2 baseline regime) without retracing."""
+    cfg = _tiny_cfg(graph_mode="fresh")
+    res = loop.train_unfolded(cfg, str(tmp_path / "run"))
+    assert np.isfinite(res["best_valid_loss"])
+    # the recorded config carries the regime so evaluate/serve pick fresh topologies
+    import json
+    with open(tmp_path / "run" / "args.json") as f:
+        assert json.load(f)["graph_mode"] == "fresh"
+
+
 def test_train_unfolded_resume(tmp_path):
     cfg = _tiny_cfg(num_epochs=2)
     loop.train_unfolded(cfg, str(tmp_path / "a"))
