@@ -22,7 +22,8 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
         print("usage: import_torch <reference_run_dir> <out_dir> [--recover_graph] "
-              "[--graph_samples N] [--graph_candidates N] [--device cpu]")
+              "[--graph_samples N] [--graph_candidates N] [--device cpu] "
+              "[--graph_mode fixed|fresh]")
         return {}
     src, dst = argv[0], argv[1]
     rest = argv[2:]
@@ -38,6 +39,7 @@ def main(argv=None):
         src, dst, recover_graph=recover,
         graph_candidates=int(opts.get("--graph_candidates", 1024)),
         graph_samples=int(opts.get("--graph_samples", 32)),
+        graph_mode=opts.get("--graph_mode", "fixed"),
     )
     print(f"imported {src} -> {dst}  (K={info['K']}, P={info['P']}, mode={info['mode']})")
     if recover:

@@ -166,13 +166,21 @@ def recover_training_graph(
 def import_unfolded_run(
     src_dir: str, out_dir: str, recover_graph: bool = False,
     graph_candidates: int = 1024, graph_samples: int = 32,
+    graph_mode: str = "fixed",
 ) -> Dict:
     """Convert a reference unfolded run dir into this framework's run-dir layout
     (`args.json` + `A.npy` + `best/` checkpoint [+ `graph.npy`]), servable by
-    `cli.evaluate` and resumable as initialization by the training drivers."""
+    `cli.evaluate` and resumable as initialization by the training drivers.
+
+    graph_mode records the run's topology regime in args.json (the reference never
+    saves it): 'fixed' for single-graph runs like csv_folder1 (pair with
+    recover_graph), 'fresh' for fresh-graphs-per-batch runs like csv_folder2 —
+    evaluate/serve then sample fresh connected topologies instead of reconstructing
+    a fixed one."""
     from . import checkpoint as ckpt
 
     A, raw, cfg = load_reference_unfolded_run(src_dir)
+    cfg = cfg.replace(graph_mode=graph_mode)
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "A.npy"), A)
     with open(os.path.join(out_dir, "args.json"), "w") as f:
