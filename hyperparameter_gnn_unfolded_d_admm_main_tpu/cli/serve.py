@@ -76,7 +76,11 @@ class _Solver:
         A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
         self.P, self.m, self.n = A.shape
 
-        self.is_gnn = cfg.hyp_mode in ("GHyp", "GHyp1")
+        # GNN-family detection mirrors cli.evaluate: recorded tier in args.json,
+        # directory-name suffix as fallback for runs saved before hyp_mode recording
+        # (e.g. the flagship progressive run trained early in this repo's history).
+        self.is_gnn = (cfg.hyp_mode in ("GHyp", "GHyp1") or os.path.basename(
+            os.path.normpath(run_dir)).endswith("progressive"))
         ckpt_dir = os.path.join(run_dir, ckpt_name)
         if self.is_gnn:
             model_cls = DLASSOGNNHypOneShot if cfg.hyp_mode == "GHyp1" else DLASSOGNNHyp

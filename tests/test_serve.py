@@ -106,6 +106,43 @@ def test_serve_protocol(server):
 
 
 _PARITY = os.path.join(os.path.dirname(__file__), os.pardir, "results_parity")
+
+GNN_RUN = os.path.join(_PARITY, "20260817_051436_progressive")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(GNN_RUN, "best", "state.msgpack")),
+    reason="trained flagship run not present",
+)
+def test_serve_gnn_family_dirname_fallback():
+    """The flagship progressive run predates hyp_mode recording (args.json says
+    'unfolded'); serve must dispatch it to the GNN family via the directory-name
+    fallback like cli.evaluate, not crash restoring a table checkpoint."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         GNN_RUN, "--device", "cpu", "--port", "0", "--max_batch", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert (ready["P"], ready["m"], ready["n"]) == (5, 100, 500)
+        cli = Client(ready["host"], ready["port"])
+        A = np.load(os.path.join(GNN_RUN, "A.npy"))
+        rng = np.random.default_rng(0)
+        y = 2.0 * rng.standard_normal(500) * (rng.random(500) <= 0.25)
+        b = np.einsum("pmn,n->pm", A, y)
+        resp = cli.call({"b": b.tolist()})
+        y_hat = np.asarray(resp["y_hat"])[0]
+        nmse = np.sum((y_hat - y) ** 2) / np.sum(y ** 2)
+        assert nmse < 0.6  # trained flagship solves (PARITY: ~0.21 loss)
+        assert cli.call({"cmd": "shutdown"})["shutdown"]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
 # one trained run per learned tier — each takes a distinct path in _Solver._init_dlr
 DLR_RUNS = {
     "table": os.path.join(_PARITY, "unfolded_dlr", "20260818_060235_unfolded_dlr"),
