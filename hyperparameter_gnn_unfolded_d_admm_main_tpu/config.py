@@ -125,6 +125,10 @@ class Config:
                                        # 'attention'} — gcn is the reference's live
                                        # design; mpnn/attention cover its archived
                                        # design space (old code/gnn_dlasso_models4.py)
+    warmup_epochs: int = 0             # linear LR warmup over the first N epochs
+                                       # (0 = off, reference-faithful); stabilizes the
+                                       # attention encoder's seed sensitivity
+                                       # (train/schedule.py:warmup_factor)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

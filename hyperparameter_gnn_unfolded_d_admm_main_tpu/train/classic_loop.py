@@ -23,7 +23,7 @@ from ..models import classic
 from ..ops import classic_data, data as data_ops, graphs
 from ..train import losses as loss_lib
 from ..train import optim
-from ..utils.logging import CSVLogger, IOStream, save_json
+from ..utils.logging import CSVLogger, IOStream, TensorBoardWriter, save_json
 
 
 def graph_cache_path(cfg: Config) -> str:
@@ -74,6 +74,9 @@ def train_classic_dlasso(cfg: Config, out_dir: str) -> Dict:
 
     rng = np.random.default_rng(int(cfg.seed))
     csv = CSVLogger(["segment", "epoch", "train_loss", "valid_loss"])
+    # Per-epoch scalars like the reference's SummaryWriter (`dlasso.py:71-72`).
+    tb = TensorBoardWriter(os.path.join(out_dir, "tb"), enabled=cfg.tensorboard)
+    global_epoch = 0
     frozen: Optional[jax.Array] = None
     best_val = np.inf
 
@@ -118,6 +121,9 @@ def train_classic_dlasso(cfg: Config, out_dir: str) -> Dict:
             ]
             va_loss = float(np.mean(va_losses)) if va_losses else float("nan")
             csv.append(segment=ll, epoch=epoch, train_loss=tr_loss, valid_loss=va_loss)
+            tb.scalar("train_loss", tr_loss, global_epoch)
+            tb.scalar("valid_loss", va_loss, global_epoch)
+            global_epoch += 1
             log.cprint(f"seg {ll} | epoch: {epoch} | train_loss: {tr_loss:.2f} | "
                        f"valid_loss: {va_loss:.3f}")
             best_val = min(best_val, va_loss)
@@ -132,6 +138,7 @@ def train_classic_dlasso(cfg: Config, out_dir: str) -> Dict:
         )
 
     csv.write(os.path.join(out_dir, "losses.csv"))
+    tb.close()
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
     np.save(os.path.join(out_dir, f"params_P={cfg.P}_batch={cfg.max_iter}"
                                   f"_prob={cfg.graph_prob}.npy"), np.asarray(frozen))
@@ -201,6 +208,9 @@ def train_classic_dlr(cfg: Config, out_dir: str) -> Dict:
 
     rng = np.random.default_rng(int(cfg.seed))
     csv = CSVLogger(["segment", "epoch", "train_loss", "train_acc", "valid_loss", "valid_acc"])
+    # Loss + accuracy scalars per epoch (reference `dlr.py:83-86`).
+    tb = TensorBoardWriter(os.path.join(out_dir, "tb"), enabled=cfg.tensorboard)
+    global_epoch = 0
     frozen: Optional[jax.Array] = None
     best_val = np.inf
 
@@ -250,9 +260,15 @@ def train_classic_dlr(cfg: Config, out_dir: str) -> Dict:
                 vas.append(float(acc))
             tr_loss = float(np.mean(trs)) if trs else float("nan")
             va_loss = float(np.mean(vls)) if vls else float("nan")
-            csv.append(segment=ll, epoch=epoch, train_loss=tr_loss,
-                       train_acc=float(np.mean(tas)) if tas else 0.0,
-                       valid_loss=va_loss, valid_acc=float(np.mean(vas)) if vas else 0.0)
+            tr_acc = float(np.mean(tas)) if tas else 0.0
+            va_acc = float(np.mean(vas)) if vas else 0.0
+            csv.append(segment=ll, epoch=epoch, train_loss=tr_loss, train_acc=tr_acc,
+                       valid_loss=va_loss, valid_acc=va_acc)
+            tb.scalar("train_loss", tr_loss, global_epoch)
+            tb.scalar("train_acc", tr_acc, global_epoch)
+            tb.scalar("valid_loss", va_loss, global_epoch)
+            tb.scalar("valid_acc", va_acc, global_epoch)
+            global_epoch += 1
             log.cprint(f"seg {ll} | epoch: {epoch} | train_loss: {tr_loss:.4f} | "
                        f"valid_loss: {va_loss:.4f}")
             best_val = min(best_val, va_loss)
@@ -262,5 +278,6 @@ def train_classic_dlr(cfg: Config, out_dir: str) -> Dict:
                 np.asarray(frozen))
 
     csv.write(os.path.join(out_dir, "losses.csv"))
+    tb.close()
     save_json(os.path.join(out_dir, "args.json"), cfg.__dict__)
     return {"hyp_table": frozen, "best_valid_loss": best_val, "out_dir": out_dir}

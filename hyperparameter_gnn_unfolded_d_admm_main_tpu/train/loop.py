@@ -169,7 +169,9 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         if cfg.profile and epoch == start_epoch + 1:
             # first post-compile epoch: steady-state kernels, no compile noise
             jax.profiler.start_trace(os.path.join(out_dir, "trace"))
-        opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr)
+        opt_state.hyperparams["learning_rate"] = jnp.float32(
+            plateau.lr * schedule.warmup_factor(epoch, cfg.warmup_epochs)
+        )
         tr_loss, nb = 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
             key, kstep = jax.random.split(key)
@@ -342,6 +344,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         )
         iters_hist.append(K)
         lr_factor = schedule.lr_factor_for_iterations(K, epoch, cfg.num_epochs, max_iterations)
+        lr_factor *= schedule.warmup_factor(epoch, cfg.warmup_epochs)
         opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr * lr_factor)
 
         tr_mean, tr_final, nb = 0.0, 0.0, 0
@@ -505,7 +508,9 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
 
     best_params = params
     for epoch in range(start_epoch, cfg.num_epochs):
-        opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr)
+        opt_state.hyperparams["learning_rate"] = jnp.float32(
+            plateau.lr * schedule.warmup_factor(epoch, cfg.warmup_epochs)
+        )
         tr_loss, nb = 0.0, 0
         for x, y in data_ops.batch_iterator(rng, x_tr, y_tr, cfg.batch_size):
             key, kstep = jax.random.split(key)

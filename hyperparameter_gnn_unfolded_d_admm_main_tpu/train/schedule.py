@@ -41,6 +41,18 @@ def lr_factor_for_iterations(
     return 0.8
 
 
+def warmup_factor(epoch: int, warmup_epochs: int) -> float:
+    """Linear LR warmup over the first `warmup_epochs` epochs (1.0 when disabled).
+
+    New surface (the reference has no warmup): added because the attention-encoder
+    hypernetwork is seed-sensitive at full LR from epoch 0 — its edge-masked softmax
+    saturates if the first few updates are too large (PARITY.md: seed 7 diverged).
+    Off by default to keep the reference-faithful trajectory."""
+    if warmup_epochs <= 0:
+        return 1.0
+    return min(1.0, (epoch + 1) / float(warmup_epochs))
+
+
 @dataclass
 class ReduceLROnPlateau:
     """torch-semantics plateau scheduler (reference uses factor=0.8/patience=3 for the

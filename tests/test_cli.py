@@ -47,13 +47,16 @@ def test_classic_dlasso_cli_smoke(tmp_path, monkeypatch):
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import classic_loop
 
     cfg = Config(P=4, max_iter=4, max_iter_seg=2, num_epochs=1, train_size=20,
-                 test_size=8, batch_size=4, lr=1e-2, seed=0)
+                 test_size=8, batch_size=4, lr=1e-2, seed=0, tensorboard=True)
     res = classic_loop.train_classic_dlasso(cfg, str(tmp_path / "out"))
     assert np.isfinite(res["best_valid_loss"])
     assert res["hyp_table"].shape == (4, 4, 4)
     # segment tables saved
     saved = [f for f in os.listdir(tmp_path / "out") if f.startswith("params_")]
     assert len(saved) >= 2
+    # TensorBoard scalars emitted per epoch (reference `dlasso.py:71-72`)
+    tb_dir = tmp_path / "out" / "tb"
+    assert tb_dir.is_dir() and any(f.startswith("events") for f in os.listdir(tb_dir))
     # eval path produces a loss-vs-iteration curve
     curve = classic_loop.eval_classic_dlasso(cfg, np.asarray(res["hyp_table"]), str(tmp_path / "out"))
     assert curve.shape == (4,)

@@ -38,6 +38,17 @@ def test_lr_factor_for_iterations():
     assert schedule.lr_factor_for_iterations(25, 0, 100, 25) <= 0.8
 
 
+def test_warmup_factor():
+    # disabled (reference-faithful default): always 1.0
+    assert schedule.warmup_factor(0, 0) == 1.0
+    assert schedule.warmup_factor(123, 0) == 1.0
+    # linear ramp reaching 1.0 at warmup_epochs, flat afterwards
+    assert schedule.warmup_factor(0, 5) == 0.2
+    assert schedule.warmup_factor(2, 5) == 0.6
+    assert schedule.warmup_factor(4, 5) == 1.0
+    assert schedule.warmup_factor(10, 5) == 1.0
+
+
 def test_reduce_lr_on_plateau():
     s = schedule.ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2, min_lr=0.1)
     for _ in range(3):
