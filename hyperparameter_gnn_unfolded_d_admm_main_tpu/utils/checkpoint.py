@@ -22,14 +22,26 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _atomic_write(path: str, data: bytes):
+    """Write-to-temp + rename so a crash mid-save never corrupts the previous
+    checkpoint (`last/` is overwritten every epoch; a torn state.msgpack would make
+    --resume impossible). os.replace is atomic on POSIX within one filesystem."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save(path: str, tree: Dict[str, Any], meta: Optional[Dict] = None):
-    """Serialize a pytree (+ JSON metadata) into directory `path`."""
+    """Serialize a pytree (+ JSON metadata) into directory `path` (atomic per file)."""
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(_to_host(tree)))
+    _atomic_write(os.path.join(path, "state.msgpack"),
+                  serialization.to_bytes(_to_host(tree)))
     if meta is not None:
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f, indent=2, sort_keys=True, default=str)
+        payload = json.dumps(meta, indent=2, sort_keys=True, default=str)
+        _atomic_write(os.path.join(path, "meta.json"), payload.encode())
 
 
 def restore(path: str, target: Dict[str, Any]) -> Tuple[Dict[str, Any], Optional[Dict]]:

@@ -82,6 +82,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(part["b"]["c"]), 1.0)
 
 
+def test_checkpoint_save_is_atomic(tmp_path):
+    """Overwriting `last/` every epoch must never leave a torn state file: saves go
+    through write-to-temp + os.replace, and a stale .tmp from a crashed writer does
+    not affect restore."""
+    import os
+    path = tmp_path / "ck"
+    tree = {"a": jnp.arange(4.0)}
+    ckpt.save(str(path), tree, {"epoch": 1})
+    ckpt.save(str(path), {"a": 2.0 * jnp.arange(4.0)}, {"epoch": 2})
+    assert not [f for f in os.listdir(path) if f.endswith(".tmp")]
+    # simulate a crash that left a half-written temp file behind
+    (path / "state.msgpack.tmp").write_bytes(b"garbage")
+    got, meta = ckpt.restore(str(path), {"a": jnp.zeros(4)})
+    np.testing.assert_allclose(np.asarray(got["a"]), 2.0 * np.arange(4.0))
+    assert meta["epoch"] == 2
+
+
 def test_training_runs_emit_pngs(tmp_path):
     """Reference drivers save per-run PNGs (losses.png, training_summary.png,
     iteration_progression.png); both loops must too (when matplotlib is present)."""
