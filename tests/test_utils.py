@@ -97,6 +97,20 @@ def test_checkpoint_save_is_atomic(tmp_path):
     got, meta = ckpt.restore(str(path), {"a": jnp.zeros(4)})
     np.testing.assert_allclose(np.asarray(got["a"]), 2.0 * np.arange(4.0))
     assert meta["epoch"] == 2
+    assert "_state_sha256" not in meta  # internal field stripped on restore
+
+
+def test_checkpoint_detects_meta_state_skew(tmp_path, capsys):
+    """A crash between the state and meta replaces pairs a new state.msgpack with the
+    previous meta.json; restore must surface that (stderr warning via the stored state
+    hash) instead of silently returning desynced scheduler metadata."""
+    path = str(tmp_path / "ck")
+    ckpt.save(path, {"a": jnp.arange(4.0)}, {"epoch": 1})
+    ckpt.save(path, {"a": 3.0 * jnp.arange(4.0)}, meta=None)  # state advanced, meta stale
+    got, meta = ckpt.restore(path, {"a": jnp.zeros(4)})
+    np.testing.assert_allclose(np.asarray(got["a"]), 3.0 * np.arange(4.0))
+    assert meta["epoch"] == 1
+    assert "does not match state.msgpack" in capsys.readouterr().err
 
 
 def test_training_runs_emit_pngs(tmp_path):
