@@ -30,7 +30,7 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print("usage: evaluate <run_dir> [--ckpt best|last] [--device cpu] "
-              "[--test_size N] [--dtype bfloat16]")
+              "[--test_size N] [--dtype bfloat16] [--compile_cache DIR]")
         return {}
     run_dir = argv[0]
     opts = dict(zip(argv[1::2], argv[2::2]))
@@ -40,7 +40,10 @@ def main(argv=None):
         cfg_dict = json.load(f)
 
     from ..config import Config
-    from ..utils.platform import select_device
+    from ..utils.platform import enable_compile_cache, select_device
+
+    if "--compile_cache" in opts:
+        enable_compile_cache(opts["--compile_cache"])
 
     cfg = Config.from_json(json.dumps(cfg_dict))
     if "--dtype" in opts:

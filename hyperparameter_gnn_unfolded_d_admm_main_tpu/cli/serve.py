@@ -332,14 +332,19 @@ def main(argv=None):
     if not argv:
         print("usage: serve <run_dir> [--port 8763] [--host 127.0.0.1] "
               "[--max_batch 32] [--ckpt best] [--device tpu] [--dtype bfloat16] "
-              "[--gram_mode factored]")
+              "[--gram_mode factored] [--compile_cache DIR]")
         return
     run_dir = argv[0]
     opts = dict(zip(argv[1::2], argv[2::2]))
 
-    from ..utils.platform import select_device
+    from ..utils.platform import enable_compile_cache, select_device
 
     select_device(opts.get("--device", "tpu"))
+    if "--compile_cache" in opts:
+        # Persistent XLA compilation cache: restarting the daemon reuses the compiled
+        # executable instead of paying the 20-40s (sometimes minutes, through the
+        # tunnel) first-compile, the production cold-start discipline.
+        enable_compile_cache(opts["--compile_cache"])
     overrides = {}
     if "--dtype" in opts:
         overrides["dtype"] = opts["--dtype"]

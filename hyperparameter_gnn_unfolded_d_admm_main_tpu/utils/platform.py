@@ -28,3 +28,15 @@ def select_device(device: str, host_device_count: int | None = None) -> None:
                 os.environ["XLA_FLAGS"] = (
                     flags + f" --xla_force_host_platform_device_count={host_device_count}"
                 ).strip()
+
+
+def enable_compile_cache(cache_dir: str) -> None:
+    """Persistent XLA compilation cache (new surface; the reference recompiles its
+    torch graphs implicitly every process). Compiled executables are keyed by program
+    + compiler version and reused across process restarts — the serving daemon's
+    cold-start goes from a full compile to a cache read. Safe to share across runs;
+    min_compile_time_secs=0 caches everything including the tiny eval programs."""
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

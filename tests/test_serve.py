@@ -202,3 +202,36 @@ def test_serve_dlr_family(tier):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_persistent_compile_cache(tmp_path):
+    """`--compile_cache DIR` must populate a persistent XLA compilation cache on first
+    start and leave the daemon fully functional when restarted against the warm cache
+    (the production cold-start path)."""
+    cache = tmp_path / "xla_cache"
+
+    def start():
+        proc = subprocess.Popen(
+            [sys.executable, "-m",
+             "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+             RUN, "--device", "cpu", "--port", "0", "--max_batch", "2",
+             "--compile_cache", str(cache)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+        )
+        ready = json.loads(proc.stdout.readline())
+        return proc, ready
+
+    for round_idx in range(2):  # cold start, then warm restart
+        proc, ready = start()
+        try:
+            cli = Client(ready["host"], ready["port"])
+            assert cli.call({"cmd": "ping"})["ok"]
+            assert cli.call({"cmd": "shutdown"})["shutdown"]
+            proc.wait(timeout=60)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=30)
+        entries = [f for f in os.listdir(cache) if not f.startswith(".")]
+        assert entries, f"compilation cache empty after round {round_idx}"
