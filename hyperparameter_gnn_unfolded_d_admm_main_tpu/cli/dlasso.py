@@ -17,7 +17,7 @@ import numpy as np
 from ..config import args_parser
 from ..train import classic_loop
 from ..utils.logging import timestamped_dir
-from ..utils.platform import select_device
+from ..utils.platform import configure_platform
 
 
 def main(argv=None):
@@ -25,7 +25,7 @@ def main(argv=None):
     if cfg.resume:
         raise SystemExit("--resume is not supported by this driver (supported: "
                          "unfolded_train_new, gnn_progressive, unfolded_dlr)")
-    select_device(cfg.device)
+    configure_platform(cfg)
     out_dir = timestamped_dir(cfg.save_dir, "dlasso_classic")
 
     if cfg.eval:

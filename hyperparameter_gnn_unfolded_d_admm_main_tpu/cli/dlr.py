@@ -14,7 +14,7 @@ generated instead (`ops/classic_data.py:make_lr_dataset`).
 from ..config import args_parser
 from ..train import classic_loop
 from ..utils.logging import timestamped_dir
-from ..utils.platform import select_device
+from ..utils.platform import configure_platform
 
 
 def main(argv=None):
@@ -22,7 +22,7 @@ def main(argv=None):
     if cfg.resume:
         raise SystemExit("--resume is not supported by this driver (supported: "
                          "unfolded_train_new, gnn_progressive, unfolded_dlr)")
-    select_device(cfg.device)
+    configure_platform(cfg)
     out_dir = timestamped_dir(cfg.save_dir, "dlr_classic")
 
     if cfg.eval:

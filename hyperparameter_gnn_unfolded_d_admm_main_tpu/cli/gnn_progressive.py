@@ -14,12 +14,12 @@ args.json, A.npy, best/, last/}` (CSV schema matches the reference's
 from ..config import args_parser
 from ..train.loop import train_gnn_progressive
 from ..utils.logging import timestamped_dir
-from ..utils.platform import select_device
+from ..utils.platform import configure_platform
 
 
 def main(argv=None):
     cfg = args_parser(argv)
-    select_device(cfg.device)
+    configure_platform(cfg)
     out_dir = timestamped_dir(cfg.save_dir, "progressive")
     res = train_gnn_progressive(cfg, out_dir, resume=cfg.resume or None)
     print(f"\nAll results saved to '{out_dir}'")

@@ -11,12 +11,12 @@ recipe of `unfolded_train_new` to the dlr system (see models/unfolded_dlr.py).
 from ..config import args_parser
 from ..train.loop import train_unfolded_dlr
 from ..utils.logging import timestamped_dir
-from ..utils.platform import select_device
+from ..utils.platform import configure_platform
 
 
 def main(argv=None):
     cfg = args_parser(argv)
-    select_device(cfg.device)
+    configure_platform(cfg)
     out_dir = timestamped_dir(cfg.save_dir, "unfolded_dlr")
     res = train_unfolded_dlr(cfg, out_dir, resume=cfg.resume or None)
     print(f"\nAll results saved to '{out_dir}'")

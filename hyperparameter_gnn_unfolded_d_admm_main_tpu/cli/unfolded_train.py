@@ -23,7 +23,7 @@ from ..ops import data as data_ops, sensing
 from ..train import losses, optim
 from ..train.loop import _fixed_graph_batch
 from ..utils.logging import CSVLogger, IOStream, save_json, timestamped_dir
-from ..utils.platform import select_device
+from ..utils.platform import configure_platform
 
 
 def main(argv=None):
@@ -31,7 +31,7 @@ def main(argv=None):
     if cfg.resume:
         raise SystemExit("--resume is not supported by this driver (supported: "
                          "unfolded_train_new, gnn_progressive, unfolded_dlr)")
-    select_device(cfg.device)
+    configure_platform(cfg)
     out_dir = timestamped_dir(cfg.save_dir, "unfolded_layerwise")
     log = IOStream(os.path.join(out_dir, "run.log"))
 

@@ -11,12 +11,12 @@ ER graph, Adam, plateau LR, early stop patience 70, artifacts
 from ..config import args_parser
 from ..train.loop import train_unfolded
 from ..utils.logging import timestamped_dir
-from ..utils.platform import select_device
+from ..utils.platform import configure_platform
 
 
 def main(argv=None):
     cfg = args_parser(argv)
-    select_device(cfg.device)
+    configure_platform(cfg)
     out_dir = timestamped_dir(cfg.save_dir, "unfolded_new")
     res = train_unfolded(cfg, out_dir, resume=cfg.resume or None)
     print(f"\nAll results saved to '{out_dir}'")

@@ -125,6 +125,10 @@ class Config:
                                        # 'attention'} — gcn is the reference's live
                                        # design; mpnn/attention cover its archived
                                        # design space (old code/gnn_dlasso_models4.py)
+    compile_cache: str = ""            # persistent XLA compilation-cache dir (restarts
+                                       # and resumes reuse compiled executables; the
+                                       # progressive trainer alone compiles one program
+                                       # per distinct K)
     warmup_epochs: int = 0             # linear LR warmup over the first N epochs
                                        # (0 = off, reference-faithful); stabilizes the
                                        # attention encoder's seed sensitivity

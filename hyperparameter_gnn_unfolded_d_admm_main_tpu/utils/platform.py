@@ -30,6 +30,14 @@ def select_device(device: str, host_device_count: int | None = None) -> None:
                 ).strip()
 
 
+def configure_platform(cfg) -> None:
+    """Apply a Config's platform knobs: backend selection + optional persistent
+    compilation cache (`--compile_cache DIR`). Call before the first computation."""
+    select_device(cfg.device)
+    if getattr(cfg, "compile_cache", ""):
+        enable_compile_cache(cfg.compile_cache)
+
+
 def enable_compile_cache(cache_dir: str) -> None:
     """Persistent XLA compilation cache (new surface; the reference recompiles its
     torch graphs implicitly every process). Compiled executables are keyed by program
