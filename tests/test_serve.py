@@ -235,3 +235,52 @@ def test_serve_persistent_compile_cache(tmp_path):
                 proc.wait(timeout=30)
         entries = [f for f in os.listdir(cache) if not f.startswith(".")]
         assert entries, f"compilation cache empty after round {round_idx}"
+
+
+def test_serve_concurrent_clients():
+    """ThreadingTCPServer under concurrent load: N clients solving simultaneously must
+    each get a correct, complete response (device execution is serialized inside the
+    solver; the protocol layer must not interleave or drop replies). Own server
+    subprocess — the module fixture's server is shut down by test_serve_protocol."""
+    import threading
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    ready = json.loads(proc.stdout.readline())
+    A = np.load(os.path.join(RUN, "A.npy"))
+    rng = np.random.default_rng(1)
+    n_clients = 6
+    ys = 2.0 * rng.standard_normal((n_clients, 500)) * (rng.random((n_clients, 500)) <= 0.25)
+    results = [None] * n_clients
+
+    def worker(i):
+        cli = Client(ready["host"], ready["port"])
+        b = np.einsum("pmn,n->pm", A, ys[i])
+        for _ in range(3):  # several round trips per connection
+            resp = cli.call({"b": b.tolist()})
+            assert resp["batch"] == 1, resp
+        results[i] = np.asarray(resp["y_hat"])[0]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "client thread hung"
+    try:
+        for i in range(n_clients):
+            assert results[i] is not None
+            nmse = np.sum((results[i] - ys[i]) ** 2) / np.sum(ys[i] ** 2)
+            assert nmse < 0.6, f"client {i} got a wrong solution (nmse {nmse:.3f})"
+        cli = Client(ready["host"], ready["port"])
+        assert cli.call({"cmd": "shutdown"})["shutdown"]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
