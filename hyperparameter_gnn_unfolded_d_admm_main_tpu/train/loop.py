@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import Dict, Optional
 
 import jax
@@ -320,6 +321,11 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     stopper = schedule.EarlyStopping(patience=20)
     train_csv = CSVLogger(["mean", "final"])
     valid_csv = CSVLogger(["mean", "final"])
+    # Separate file (not a new column: cli/compare.py and the reference tooling read
+    # the rightmost losses-CSV column as the loss). Epoch wall-clock is what
+    # quantifies the progressive schedule's early-training savings — the reference
+    # README claims 60-80% but ships no measurement (README.md:141).
+    times_csv = CSVLogger(["epoch", "K", "time_s"])
     tb = TensorBoardWriter(os.path.join(out_dir, "tb"), enabled=cfg.tensorboard)
     rng = np.random.default_rng(int(cfg.seed))
     timer = StepTimer()
@@ -346,6 +352,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         lr_factor = schedule.lr_factor_for_iterations(K, epoch, cfg.num_epochs, max_iterations)
         lr_factor *= schedule.warmup_factor(epoch, cfg.warmup_epochs)
         opt_state.hyperparams["learning_rate"] = jnp.float32(plateau.lr * lr_factor)
+        epoch_t0 = time.perf_counter()
 
         tr_mean, tr_final, nb = 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_tr, y_tr, cfg.batch_size):
@@ -370,6 +377,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         tr_mean /= max(nb, 1)
         tr_final /= max(nb, 1)
         train_csv.append(mean=tr_mean, final=tr_final)
+        times_csv.append(epoch=epoch, K=K, time_s=round(time.perf_counter() - epoch_t0, 4))
 
         va_mean, va_final, va_nmse, nb = 0.0, 0.0, 0.0, 0
         for b, y in data_ops.batch_iterator(rng, b_va, y_va, cfg.batch_size):
@@ -408,6 +416,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     graph_close()  # joins the C++ prefetch workers (exception paths: __del__ backstop)
     train_csv.write(os.path.join(out_dir, "train_losses.csv"))
     valid_csv.write(os.path.join(out_dir, "valid_losses.csv"))
+    times_csv.write(os.path.join(out_dir, "epoch_times.csv"))
     plots.plot_training_summary(
         out_dir, train_csv.column("final"), valid_csv.column("final"), iters_hist,
         epoch_offset=start_epoch,
