@@ -129,6 +129,12 @@ class Config:
                                        # and resumes reuse compiled executables; the
                                        # progressive trainer alone compiles one program
                                        # per distinct K)
+    masked_k: bool = False             # progressive trainer: ONE compiled max-K scan
+                                       # with iterations >= K(epoch) masked (frozen
+                                       # state, zero grad) instead of one compiled
+                                       # program per distinct K — trades wasted
+                                       # masked-iteration FLOPs (negligible at small P)
+                                       # for zero per-K recompiles
     warmup_epochs: int = 0             # linear LR warmup over the first N epochs
                                        # (0 = off, reference-faithful); stabilizes the
                                        # attention encoder's seed sensitivity

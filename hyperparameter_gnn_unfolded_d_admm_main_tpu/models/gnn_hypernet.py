@@ -148,6 +148,17 @@ def _apply_decoder(params: dict, key: jax.Array, x: jax.Array, training: bool) -
     return x @ params["fc"]["w"] + params["fc"]["b"]
 
 
+def _freeze_inactive(k, k_active, new_tree, old_tree):
+    """Masked-K scan step gate: keep `new_tree` while `k < k_active`, else carry
+    `old_tree` forward unchanged. jnp.where on a scalar predicate gives exact zero
+    gradient through the frozen branch, so a max-K scan masked to k_active is
+    gradient-equivalent to a scan of length k_active."""
+    act = jnp.asarray(k, jnp.int32) < jnp.asarray(k_active, jnp.int32)
+    return jax.tree_util.tree_map(
+        lambda new, old: jnp.where(act, new, old), new_tree, old_tree
+    )
+
+
 class GNNHypOutput(NamedTuple):
     Y: jax.Array           # [K, B, P, n] per-iteration primal iterates
     hyp_last: Tuple[jax.Array, jax.Array, jax.Array, jax.Array]  # (alpha,tau,rho,eta) [B,Pp,1]
@@ -249,7 +260,8 @@ class DLASSOGNNHypOneShot(object):
             table = table * scale[..., None, None]
         return jnp.clip(table, 1e-4, 0.99)
 
-    def _unroll(self, params, key, b, adj, K, with_losses, label=None, training=True):
+    def _unroll(self, params, key, b, adj, K, with_losses, label=None, training=True,
+                k_active=None):
         B = b.shape[0]
         Atb = sensing.At_apply(self.A, b)
         deg = graph_ops.degrees(adj)
@@ -267,6 +279,11 @@ class DLASSOGNNHypOneShot(object):
                 hyp_k[..., 0:1], hyp_k[..., 1:2], hyp_k[..., 2:3], hyp_k[..., 3:4],
                 dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
             )
+            if k_active is not None:
+                # masked-K: the cumsum table's prefix property makes the full table
+                # valid for any truncation; freezing k >= k_active reproduces the
+                # sliced scan exactly (state AND gradients)
+                nxt = _freeze_inactive(k, k_active, nxt, st)
             if with_losses:
                 diff = (nxt.y - label[:, None, :]).astype(jnp.float32)
                 return nxt, jnp.mean(diff * diff, axis=(0, 2))    # [P]
@@ -276,24 +293,30 @@ class DLASSOGNNHypOneShot(object):
             body = jax.checkpoint(body)
         ks = jnp.arange(table_k.shape[0], dtype=jnp.int32)
         _, out = jax.lax.scan(body, st0, (ks, table_k))
-        hyp_last = tuple(table_k[-1][..., i:i + 1] for i in range(4))
+        if k_active is not None:
+            idx = jnp.maximum(jnp.asarray(k_active, jnp.int32) - 1, 0)
+            hyp_last = tuple(table_k[idx][..., i:i + 1] for i in range(4))
+        else:
+            hyp_last = tuple(table_k[-1][..., i:i + 1] for i in range(4))
         return out, hyp_last
 
     def apply(self, params, state, key, b, adj,
-              training_iterations: Optional[int] = None, training: bool = True):
+              training_iterations: Optional[int] = None, training: bool = True,
+              k_active=None):
         # no dropout/batch-norm in this tier (v1 has none either); `training` only
         # gates the table's anti-saturation penalty
         K = self.K if training_iterations is None else int(training_iterations)
         Y, hyp_last = self._unroll(params, key, b, adj, K, with_losses=False,
-                                   training=training)
+                                   training=training, k_active=k_active)
         return GNNHypOutput(Y=Y, hyp_last=hyp_last, state=state)
 
     def apply_losses(self, params, state, key, b, adj, label,
-                     training_iterations: Optional[int] = None, training: bool = True):
+                     training_iterations: Optional[int] = None, training: bool = True,
+                     k_active=None):
         K = self.K if training_iterations is None else int(training_iterations)
         per_kp, hyp_last = self._unroll(params, key, b, adj, K,
                                         with_losses=True, label=label,
-                                        training=training)
+                                        training=training, k_active=k_active)
         return per_kp, hyp_last, state
 
 
@@ -352,11 +375,16 @@ class DLASSOGNNHyp(object):
         adj: jax.Array,
         training_iterations: Optional[int] = None,
         training: bool = True,
+        k_active: Optional[jax.Array] = None,
     ) -> GNNHypOutput:
         """Full unrolled forward (reference `forward`, `:131-243`).
 
         b [B,P,m], adj [B,P,P]. `training_iterations` overrides K for the progressive
         schedule (static -> one compiled program per distinct K, cached by jit).
+        `k_active` (a TRACED int) instead runs the max-K scan with iterations
+        k >= k_active masked out (state frozen, zero gradient) — ONE compiled program
+        serves every K of the schedule; Y[-1] equals the K=k_active final iterate
+        because the freeze carries it forward.
         """
         K = self.K if training_iterations is None else int(training_iterations)
         B = b.shape[0]
@@ -372,21 +400,29 @@ class DLASSOGNNHyp(object):
             st, bn_state = carry
             kk = jax.random.fold_in(k_scan, k)
             AtAy = self.gram_fn(st.y)
-            (alpha, tau, rho, eta), bn_state = self._hyper(
+            (alpha, tau, rho, eta), new_bn = self._hyper(
                 params, bn_state, kk, AtAy, Atb, norm_adj, adj, training
             )
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,
                 dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
             )
-            return (nxt, bn_state), (nxt.y, (alpha, tau, rho, eta))
+            if k_active is not None:
+                nxt, new_bn = _freeze_inactive(k, k_active, (nxt, new_bn), (st, bn_state))
+            return (nxt, new_bn), (nxt.y, (alpha, tau, rho, eta))
 
         if self.cfg.remat:
             body = jax.checkpoint(body)
         (st, bn_state), (Y, hyps) = jax.lax.scan(
             body, (st0, state), jnp.arange(K, dtype=jnp.int32)
         )
-        hyp_last = tuple(h[-1] for h in hyps)
+        if k_active is not None:
+            # hyp emitted at the last ACTIVE iteration (later stack rows are computed
+            # from the frozen state and are logging noise)
+            idx = jnp.maximum(jnp.asarray(k_active, jnp.int32) - 1, 0)
+            hyp_last = tuple(h[idx] for h in hyps)
+        else:
+            hyp_last = tuple(h[-1] for h in hyps)
         return GNNHypOutput(Y=Y, hyp_last=hyp_last, state=bn_state)
 
     def apply_losses(
@@ -399,9 +435,13 @@ class DLASSOGNNHyp(object):
         label: jax.Array,
         training_iterations: Optional[int] = None,
         training: bool = True,
+        k_active: Optional[jax.Array] = None,
     ):
         """Training fast path: per-iteration per-agent MSEs `[K, P]` reduced inside the
-        scan (no stacked-Y materialization). Returns (per_kp, hyp_last, new_state)."""
+        scan (no stacked-Y materialization). Returns (per_kp, hyp_last, new_state).
+
+        With `k_active` (traced int), scans max-K with iterations >= k_active frozen
+        (reduce the result with `losses.masked_losses_from_per_kp`)."""
         K = self.K if training_iterations is None else int(training_iterations)
         B = b.shape[0]
         Atb = sensing.At_apply(self.A, b)
@@ -416,21 +456,27 @@ class DLASSOGNNHyp(object):
             st, bn_state = carry
             kk = jax.random.fold_in(k_scan, k)
             AtAy = self.gram_fn(st.y)
-            (alpha, tau, rho, eta), bn_state = self._hyper(
+            (alpha, tau, rho, eta), new_bn = self._hyper(
                 params, bn_state, kk, AtAy, Atb, norm_adj, adj, training
             )
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,
                 dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
             )
+            if k_active is not None:
+                nxt, new_bn = _freeze_inactive(k, k_active, (nxt, new_bn), (st, bn_state))
             diff = nxt.y - label[:, None, :]
             per_p = jnp.mean(diff * diff, axis=(0, 2))
-            return (nxt, bn_state), (per_p, (alpha, tau, rho, eta))
+            return (nxt, new_bn), (per_p, (alpha, tau, rho, eta))
 
         if self.cfg.remat:
             body = jax.checkpoint(body)
         (st, bn_state), (per_kp, hyps) = jax.lax.scan(
             body, (st0, state), jnp.arange(K, dtype=jnp.int32)
         )
-        hyp_last = tuple(h[-1] for h in hyps)
+        if k_active is not None:
+            idx = jnp.maximum(jnp.asarray(k_active, jnp.int32) - 1, 0)
+            hyp_last = tuple(h[idx] for h in hyps)
+        else:
+            hyp_last = tuple(h[-1] for h in hyps)
         return per_kp, hyp_last, bn_state

@@ -268,6 +268,9 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     # -partitioned step (parallel/shard_step.py) with batch/agent sharding.
     mesh = None
     if cfg.mesh_data * cfg.mesh_agents > 1:
+        if cfg.masked_k:
+            raise ValueError("--masked_k is not supported with a multi-chip mesh yet; "
+                             "drop one of the two flags")
         from ..parallel import mesh as mesh_lib
         from ..parallel import shard_step
 
@@ -293,6 +296,44 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         def eval_step(params, norm_state, key, batch, K):
             key, batch = _place(key, batch)
             return _sharded_eval(params, norm_state, key, batch, K)
+    elif cfg.masked_k:
+        # Masked max-K path: K arrives as a TRACED jnp.int32, so the whole progressive
+        # schedule runs in ONE compiled program (iterations >= K are frozen inside the
+        # scan — see models/gnn_hypernet.py:_freeze_inactive). Measured motivation in
+        # PARITY.md: each distinct K otherwise costs an ~11s recompile (4s warm) while
+        # a masked iteration's wasted compute is ~0 at the reference's P=5 shapes.
+        @jax.jit
+        def _masked_train(params, norm_state, opt_state, key, batch, k_arr):
+            b, y, adj = batch
+
+            def loss_fn(p):
+                per_kp, hyp, new_state = model.apply_losses(
+                    p, norm_state, key, b, adj, y, training=True, k_active=k_arr
+                )
+                lm, lf = losses.masked_losses_from_per_kp(per_kp, k_arr)
+                return lf, (lm, new_state, hyp)
+
+            (lf, (lm, new_state, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), new_state, opt_state, lm, lf, hyp
+
+        @jax.jit
+        def _masked_eval(params, norm_state, key, batch, k_arr):
+            b, y, adj = batch
+            out = model.apply(params, norm_state, key, b, adj, training=False,
+                              k_active=k_arr)
+            diff = out.Y - y[None, :, None, :]
+            per_kp = jnp.mean(diff * diff, axis=(1, 3))
+            lm, lf = losses.masked_losses_from_per_kp(per_kp, k_arr)
+            nm = losses.nmse(out.Y[-1], y)   # freeze carries iterate K-1 to the end
+            return lm, lf, nm
+
+        def train_step(params, norm_state, opt_state, key, batch, K):
+            return _masked_train(params, norm_state, opt_state, key, batch,
+                                 jnp.int32(K))
+
+        def eval_step(params, norm_state, key, batch, K):
+            return _masked_eval(params, norm_state, key, batch, jnp.int32(K))
     else:
         @functools.partial(jax.jit, static_argnums=(5,))
         def train_step(params, norm_state, opt_state, key, batch, K):

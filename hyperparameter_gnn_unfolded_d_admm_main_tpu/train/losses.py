@@ -39,6 +39,19 @@ def losses_from_per_kp(per_kp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return loss_mean, loss_final
 
 
+def masked_losses_from_per_kp(per_kp: jnp.ndarray, k_active) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`losses_from_per_kp` over only the first `k_active` (a TRACED int) iterations of
+    a max-K scan — the masked-K path: one compiled program serves every K of the
+    progressive schedule instead of one compile per distinct K."""
+    losses = jnp.mean(per_kp, axis=1)                          # [Kmax]
+    k_active = jnp.asarray(k_active, jnp.int32)
+    active = (jnp.arange(losses.shape[0]) < k_active).astype(losses.dtype)
+    denom = jnp.maximum(k_active, 1).astype(losses.dtype)
+    loss_mean = _nan_fallback(jnp.sum(losses * active) / denom + 1e-8)
+    loss_final = _nan_fallback(losses[jnp.maximum(k_active - 1, 0)] + 1e-8)
+    return loss_mean, loss_final
+
+
 def compute_loss2(Y: jnp.ndarray, label: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Label-magnitude-weighted variant (`gnn_dlasso_utils.py:18-25`, unused by the
     live reference drivers but part of the API surface)."""
