@@ -21,27 +21,39 @@ from ..train import losses
 from .mesh import AGENT_AXIS, DATA_AXIS, sharding
 
 
-def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTransformation):
+def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTransformation,
+                        masked_k: bool = False):
     """Returns jitted `(params, norm_state, opt_state, key, (b, y, adj), K) -> ...` with
-    data/agent sharding constraints. K is static (progressive schedule)."""
+    data/agent sharding constraints. K is static (one compiled program per distinct K
+    of the progressive schedule) unless `masked_k`, where K is traced and ONE max-K
+    program serves the whole curriculum (models/gnn_hypernet.py:_freeze_inactive)."""
+    import jax.numpy as jnp
+
     repl = sharding(mesh)
     s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
     s_b = sharding(mesh, DATA_AXIS)
 
     @functools.partial(
         jax.jit,
-        static_argnums=(5,),
-        in_shardings=(repl, repl, repl, repl, (s_bpa, s_b, s_bpa)),
+        static_argnums=() if masked_k else (5,),
+        in_shardings=(repl, repl, repl, repl, (s_bpa, s_b, s_bpa)) + ((repl,) if masked_k else ()),
         # Keep params/opt state replicated on the way OUT too, so the next call's
         # in_shardings match without a reshard.
         out_shardings=(repl, repl, repl, repl, repl),
     )
-    def train_step(params, norm_state, opt_state, key, batch, K: int):
+    def _step(params, norm_state, opt_state, key, batch, K):
         b, y, adj = batch
 
         def loss_fn(p):
-            out = model.apply(p, norm_state, key, b, adj, training_iterations=K, training=True)
-            lm, lf = losses.compute_loss(out.Y, y)
+            if masked_k:
+                out = model.apply(p, norm_state, key, b, adj, training=True, k_active=K)
+                diff = out.Y - y[None, :, None, :]
+                per_kp = jnp.mean(diff * diff, axis=(1, 3))
+                lm, lf = losses.masked_losses_from_per_kp(per_kp, K)
+            else:
+                out = model.apply(p, norm_state, key, b, adj,
+                                  training_iterations=K, training=True)
+                lm, lf = losses.compute_loss(out.Y, y)
             return lf, (lm, out.state)
 
         (lf, (lm, new_state)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -49,24 +61,41 @@ def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTrans
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, lm, lf
 
-    return train_step
+    if masked_k:
+        def train_step(params, norm_state, opt_state, key, batch, K):
+            return _step(params, norm_state, opt_state, key, batch, jnp.int32(K))
+        return train_step
+    return _step
 
 
-def make_gnn_eval_step(mesh: Mesh, model: DLASSOGNNHyp):
+def make_gnn_eval_step(mesh: Mesh, model: DLASSOGNNHyp, masked_k: bool = False):
+    import jax.numpy as jnp
+
     repl = sharding(mesh)
     s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
     s_b = sharding(mesh, DATA_AXIS)
 
     @functools.partial(
         jax.jit,
-        static_argnums=(4,),
-        in_shardings=(repl, repl, repl, (s_bpa, s_b, s_bpa)),
+        static_argnums=() if masked_k else (4,),
+        in_shardings=(repl, repl, repl, (s_bpa, s_b, s_bpa)) + ((repl,) if masked_k else ()),
     )
-    def eval_step(params, norm_state, key, batch, K: int):
+    def _eval(params, norm_state, key, batch, K):
         b, y, adj = batch
-        out = model.apply(params, norm_state, key, b, adj, training_iterations=K, training=False)
-        lm, lf = losses.compute_loss(out.Y, y)
-        nm = losses.nmse(out.Y[-1], y)
+        if masked_k:
+            out = model.apply(params, norm_state, key, b, adj, training=False, k_active=K)
+            diff = out.Y - y[None, :, None, :]
+            per_kp = jnp.mean(diff * diff, axis=(1, 3))
+            lm, lf = losses.masked_losses_from_per_kp(per_kp, K)
+        else:
+            out = model.apply(params, norm_state, key, b, adj,
+                              training_iterations=K, training=False)
+            lm, lf = losses.compute_loss(out.Y, y)
+        nm = losses.nmse(out.Y[-1], y)   # masked: freeze carries iterate K-1 forward
         return lm, lf, nm
 
-    return eval_step
+    if masked_k:
+        def eval_step(params, norm_state, key, batch, K):
+            return _eval(params, norm_state, key, batch, jnp.int32(K))
+        return eval_step
+    return _eval

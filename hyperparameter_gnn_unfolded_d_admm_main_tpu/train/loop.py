@@ -268,9 +268,6 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     # -partitioned step (parallel/shard_step.py) with batch/agent sharding.
     mesh = None
     if cfg.mesh_data * cfg.mesh_agents > 1:
-        if cfg.masked_k:
-            raise ValueError("--masked_k is not supported with a multi-chip mesh yet; "
-                             "drop one of the two flags")
         from ..parallel import mesh as mesh_lib
         from ..parallel import shard_step
 
@@ -278,8 +275,8 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         if cfg.P % cfg.mesh_agents or cfg.batch_size % cfg.mesh_data:
             raise ValueError("P must divide by mesh_agents and batch_size by mesh_data")
         params, norm_state, opt_state = mesh_lib.replicate(mesh, (params, norm_state, opt_state))
-        _sharded_train = shard_step.make_gnn_train_step(mesh, model, tx)
-        _sharded_eval = shard_step.make_gnn_eval_step(mesh, model)
+        _sharded_train = shard_step.make_gnn_train_step(mesh, model, tx, masked_k=cfg.masked_k)
+        _sharded_eval = shard_step.make_gnn_eval_step(mesh, model, masked_k=cfg.masked_k)
 
         def _place(key, batch):
             b, y, adj = batch

@@ -179,3 +179,38 @@ def test_sharded_dlr_unroll_matches_dense(rng):
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(per_sh), np.asarray(per_dense),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_gspmd_masked_k_matches_static(rng):
+    """Sharded masked-K step (one compiled program, traced K) must produce the same
+    loss as the sharded static-K step for a truncated K."""
+    mesh = _mesh(data=2, agents=4)
+    cfg = Config(P=8, m=6, n=12, GHyp_hidden=4, GHN_iter_num=4, batch_size=4, lr=1e-3)
+    A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
+    model = DLASSOGNNHyp(A, cfg)
+    params, norm_state = model.init(jax.random.key(1))
+    tx = optim.make_optimizer("adamw", cfg.lr, weight_decay=1e-5, clip_norm=100.0)
+    opt_state = tx.init(params)
+    b, y = data_ops.make_dataset(jax.random.key(2), A, cfg.batch_size)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, cfg.batch_size, cfg.P, 0.5))
+    key = jax.random.key(3)
+
+    bs, ys, adjs = mesh_lib.shard_batch(mesh, b, y, adj)
+    params_r, state_r, opt_r = mesh_lib.replicate(mesh, (params, norm_state, opt_state))
+    key_r = jax.device_put(key, mesh_lib.sharding(mesh))
+
+    static_step = shard_step.make_gnn_train_step(mesh, model, tx)
+    masked_step = shard_step.make_gnn_train_step(mesh, model, tx, masked_k=True)
+    for K in (1, 3):
+        _, _, _, lm_s, lf_s = static_step(params_r, state_r, opt_r, key_r, (bs, ys, adjs), K)
+        _, _, _, lm_m, lf_m = masked_step(params_r, state_r, opt_r, key_r, (bs, ys, adjs), K)
+        np.testing.assert_allclose(float(lf_m), float(lf_s), rtol=1e-5)
+        np.testing.assert_allclose(float(lm_m), float(lm_s), rtol=1e-5)
+
+    # eval flavor too
+    static_eval = shard_step.make_gnn_eval_step(mesh, model)
+    masked_eval = shard_step.make_gnn_eval_step(mesh, model, masked_k=True)
+    lm_s, lf_s, nm_s = static_eval(params_r, state_r, key_r, (bs, ys, adjs), 3)
+    lm_m, lf_m, nm_m = masked_eval(params_r, state_r, key_r, (bs, ys, adjs), 3)
+    np.testing.assert_allclose(float(nm_m), float(nm_s), rtol=1e-5)
+    np.testing.assert_allclose(float(lf_m), float(lf_s), rtol=1e-5)
