@@ -148,6 +148,16 @@ def _apply_decoder(params: dict, key: jax.Array, x: jax.Array, training: bool) -
     return x @ params["fc"]["w"] + params["fc"]["b"]
 
 
+def _check_k_args(training_iterations, k_active):
+    """The two K knobs are mutually exclusive: `training_iterations` truncates the
+    scan statically (one program per K), `k_active` masks a max-K scan (one program
+    total). Passing both would silently mask a truncated scan against an unrelated
+    bound — reject loudly instead."""
+    if training_iterations is not None and k_active is not None:
+        raise ValueError("pass either training_iterations (static K) or k_active "
+                         "(masked max-K), not both")
+
+
 def _freeze_inactive(k, k_active, new_tree, old_tree):
     """Masked-K scan step gate: keep `new_tree` while `k < k_active`, else carry
     `old_tree` forward unchanged. jnp.where on a scalar predicate gives exact zero
@@ -305,6 +315,7 @@ class DLASSOGNNHypOneShot(object):
               k_active=None):
         # no dropout/batch-norm in this tier (v1 has none either); `training` only
         # gates the table's anti-saturation penalty
+        _check_k_args(training_iterations, k_active)
         K = self.K if training_iterations is None else int(training_iterations)
         Y, hyp_last = self._unroll(params, key, b, adj, K, with_losses=False,
                                    training=training, k_active=k_active)
@@ -313,6 +324,7 @@ class DLASSOGNNHypOneShot(object):
     def apply_losses(self, params, state, key, b, adj, label,
                      training_iterations: Optional[int] = None, training: bool = True,
                      k_active=None):
+        _check_k_args(training_iterations, k_active)
         K = self.K if training_iterations is None else int(training_iterations)
         per_kp, hyp_last = self._unroll(params, key, b, adj, K,
                                         with_losses=True, label=label,
@@ -386,6 +398,7 @@ class DLASSOGNNHyp(object):
         serves every K of the schedule; Y[-1] equals the K=k_active final iterate
         because the freeze carries it forward.
         """
+        _check_k_args(training_iterations, k_active)
         K = self.K if training_iterations is None else int(training_iterations)
         B = b.shape[0]
         Atb = sensing.At_apply(self.A, b)
@@ -442,6 +455,7 @@ class DLASSOGNNHyp(object):
 
         With `k_active` (traced int), scans max-K with iterations >= k_active frozen
         (reduce the result with `losses.masked_losses_from_per_kp`)."""
+        _check_k_args(training_iterations, k_active)
         K = self.K if training_iterations is None else int(training_iterations)
         B = b.shape[0]
         Atb = sensing.At_apply(self.A, b)

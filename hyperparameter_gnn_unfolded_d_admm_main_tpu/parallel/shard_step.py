@@ -13,6 +13,7 @@ import functools
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
@@ -27,8 +28,6 @@ def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTrans
     data/agent sharding constraints. K is static (one compiled program per distinct K
     of the progressive schedule) unless `masked_k`, where K is traced and ONE max-K
     program serves the whole curriculum (models/gnn_hypernet.py:_freeze_inactive)."""
-    import jax.numpy as jnp
-
     repl = sharding(mesh)
     s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
     s_b = sharding(mesh, DATA_AXIS)
@@ -46,14 +45,16 @@ def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTrans
 
         def loss_fn(p):
             if masked_k:
-                out = model.apply(p, norm_state, key, b, adj, training=True, k_active=K)
-                diff = out.Y - y[None, :, None, :]
-                per_kp = jnp.mean(diff * diff, axis=(1, 3))
+                # In-scan [Kmax, P] loss reduction — never materializes the stacked
+                # Y [Kmax, B, P, n] through forward+backward (matters at mesh scale).
+                per_kp, _, new_state = model.apply_losses(
+                    p, norm_state, key, b, adj, y, training=True, k_active=K
+                )
                 lm, lf = losses.masked_losses_from_per_kp(per_kp, K)
-            else:
-                out = model.apply(p, norm_state, key, b, adj,
-                                  training_iterations=K, training=True)
-                lm, lf = losses.compute_loss(out.Y, y)
+                return lf, (lm, new_state)
+            out = model.apply(p, norm_state, key, b, adj,
+                              training_iterations=K, training=True)
+            lm, lf = losses.compute_loss(out.Y, y)
             return lf, (lm, out.state)
 
         (lf, (lm, new_state)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -69,8 +70,6 @@ def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTrans
 
 
 def make_gnn_eval_step(mesh: Mesh, model: DLASSOGNNHyp, masked_k: bool = False):
-    import jax.numpy as jnp
-
     repl = sharding(mesh)
     s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
     s_b = sharding(mesh, DATA_AXIS)
@@ -84,9 +83,7 @@ def make_gnn_eval_step(mesh: Mesh, model: DLASSOGNNHyp, masked_k: bool = False):
         b, y, adj = batch
         if masked_k:
             out = model.apply(params, norm_state, key, b, adj, training=False, k_active=K)
-            diff = out.Y - y[None, :, None, :]
-            per_kp = jnp.mean(diff * diff, axis=(1, 3))
-            lm, lf = losses.masked_losses_from_per_kp(per_kp, K)
+            lm, lf = losses.masked_compute_loss(out.Y, y, K)
         else:
             out = model.apply(params, norm_state, key, b, adj,
                               training_iterations=K, training=False)

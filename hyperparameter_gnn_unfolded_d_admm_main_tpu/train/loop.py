@@ -319,9 +319,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
             b, y, adj = batch
             out = model.apply(params, norm_state, key, b, adj, training=False,
                               k_active=k_arr)
-            diff = out.Y - y[None, :, None, :]
-            per_kp = jnp.mean(diff * diff, axis=(1, 3))
-            lm, lf = losses.masked_losses_from_per_kp(per_kp, k_arr)
+            lm, lf = losses.masked_compute_loss(out.Y, y, k_arr)
             nm = losses.nmse(out.Y[-1], y)   # freeze carries iterate K-1 to the end
             return lm, lf, nm
 

@@ -52,6 +52,15 @@ def masked_losses_from_per_kp(per_kp: jnp.ndarray, k_active) -> Tuple[jnp.ndarra
     return loss_mean, loss_final
 
 
+def masked_compute_loss(Y: jnp.ndarray, label: jnp.ndarray,
+                        k_active) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`compute_loss` over only the first `k_active` iterations of a stacked max-K
+    output `Y [Kmax, B, P, n]` (masked-K eval paths)."""
+    diff = Y - label[None, :, None, :]
+    per_kp = jnp.mean(diff * diff, axis=(1, 3))
+    return masked_losses_from_per_kp(per_kp, k_active)
+
+
 def compute_loss2(Y: jnp.ndarray, label: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Label-magnitude-weighted variant (`gnn_dlasso_utils.py:18-25`, unused by the
     live reference drivers but part of the API surface)."""
