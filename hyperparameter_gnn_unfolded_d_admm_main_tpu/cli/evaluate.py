@@ -62,7 +62,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from ..models.gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
+    from ..models.gnn_hypernet import (DLASSOGNNHyp, DLASSOGNNHypOneShot,
+                                       DLASSOGNNHypOneShotCorrected)
     from ..models.unfolded import UnfoldedDLASSO
     from ..ops import data as data_ops, graphs
     from ..train import losses
@@ -118,7 +119,7 @@ def main(argv=None):
     # GNN-family detection: the progressive loop records its tier in args.json
     # (hyp_mode 'GHyp' = state-conditioned flagship, 'GHyp1' = one-shot table);
     # directory-name suffix kept as a fallback for runs saved before that.
-    is_gnn = cfg.hyp_mode in ("GHyp", "GHyp1") or os.path.basename(
+    is_gnn = cfg.hyp_mode in ("GHyp", "GHyp1", "GHyp1c") or os.path.basename(
         os.path.normpath(run_dir)).endswith("progressive")
     if is_gnn or getattr(cfg, "graph_mode", "fixed") == "fresh":
         # GNN runs — and scalar-table runs trained with --graph_mode fresh — train on
@@ -142,7 +143,8 @@ def main(argv=None):
         adj = jnp.broadcast_to(jnp.asarray(one), (test_size, cfg.P, cfg.P))
     ckpt_dir = os.path.join(run_dir, ckpt_name)
     if is_gnn:
-        model_cls = DLASSOGNNHypOneShot if cfg.hyp_mode == "GHyp1" else DLASSOGNNHyp
+        model_cls = {"GHyp1": DLASSOGNNHypOneShot,
+                     "GHyp1c": DLASSOGNNHypOneShotCorrected}.get(cfg.hyp_mode, DLASSOGNNHyp)
         model = model_cls(A, cfg)
         params, norm_state = model.init(jax.random.key(0))
         tree, meta = ckpt.restore_partial(

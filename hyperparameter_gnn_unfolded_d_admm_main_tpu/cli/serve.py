@@ -49,7 +49,8 @@ class _Solver:
         import numpy as np
 
         from ..config import Config
-        from ..models.gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
+        from ..models.gnn_hypernet import (DLASSOGNNHyp, DLASSOGNNHypOneShot,
+                                           DLASSOGNNHypOneShotCorrected)
         from ..models.unfolded import UnfoldedDLASSO
         from ..ops import graphs
         from ..utils import checkpoint as ckpt
@@ -79,11 +80,12 @@ class _Solver:
         # GNN-family detection mirrors cli.evaluate: recorded tier in args.json,
         # directory-name suffix as fallback for runs saved before hyp_mode recording
         # (e.g. the flagship progressive run trained early in this repo's history).
-        self.is_gnn = (cfg.hyp_mode in ("GHyp", "GHyp1") or os.path.basename(
+        self.is_gnn = (cfg.hyp_mode in ("GHyp", "GHyp1", "GHyp1c") or os.path.basename(
             os.path.normpath(run_dir)).endswith("progressive"))
         ckpt_dir = os.path.join(run_dir, ckpt_name)
         if self.is_gnn:
-            model_cls = DLASSOGNNHypOneShot if cfg.hyp_mode == "GHyp1" else DLASSOGNNHyp
+            model_cls = {"GHyp1": DLASSOGNNHypOneShot,
+                         "GHyp1c": DLASSOGNNHypOneShotCorrected}.get(cfg.hyp_mode, DLASSOGNNHyp)
             model = model_cls(A, cfg)
             params, norm_state = model.init(jax.random.key(0))
             tree, _ = ckpt.restore_partial(

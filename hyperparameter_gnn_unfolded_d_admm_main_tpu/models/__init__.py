@@ -2,11 +2,12 @@
 
 from . import dadmm_core, seq_hyperparam
 from .classic import DADMMLASSOClassic, DADMMLRClassic
-from .gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
+from .gnn_hypernet import (DLASSOGNNHyp, DLASSOGNNHypOneShot,
+                           DLASSOGNNHypOneShotCorrected)
 from .unfolded import UnfoldedDLASSO
 from .unfolded_dlr import DLRGNNHyp, UnfoldedDLR
 
 __all__ = [
     "dadmm_core", "seq_hyperparam", "DADMMLASSOClassic", "DADMMLRClassic",
-    "DLASSOGNNHyp", "DLASSOGNNHypOneShot", "UnfoldedDLASSO", "DLRGNNHyp", "UnfoldedDLR",
+    "DLASSOGNNHyp", "DLASSOGNNHypOneShot", "DLASSOGNNHypOneShotCorrected", "UnfoldedDLASSO", "DLRGNNHyp", "UnfoldedDLR",
 ]

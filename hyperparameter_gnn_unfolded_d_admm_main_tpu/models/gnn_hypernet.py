@@ -284,6 +284,7 @@ class DLASSOGNNHypOneShot(object):
         def body(st, xs):
             k, hyp_k = xs                                         # hyp_k [B,Pp,4]
             AtAy = self.gram_fn(st.y)
+            hyp_k = self._step_hyp(params, st, AtAy, Atb, hyp_k)  # hook (GHyp1c)
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg,
                 hyp_k[..., 0:1], hyp_k[..., 1:2], hyp_k[..., 2:3], hyp_k[..., 3:4],
@@ -310,6 +311,13 @@ class DLASSOGNNHypOneShot(object):
             hyp_last = tuple(table_k[-1][..., i:i + 1] for i in range(4))
         return out, hyp_last
 
+    def _step_hyp(self, params, st, AtAy, Atb, hyp_k):
+        """Per-iteration hyperparameter hook: the plain one-shot tier uses the table
+        row as-is; the corrected tier (DLASSOGNNHypOneShotCorrected) multiplies in a
+        state-conditioned factor."""
+        del params, st, AtAy, Atb
+        return hyp_k
+
     def apply(self, params, state, key, b, adj,
               training_iterations: Optional[int] = None, training: bool = True,
               k_active=None):
@@ -330,6 +338,52 @@ class DLASSOGNNHypOneShot(object):
                                         with_losses=True, label=label,
                                         training=training, k_active=k_active)
         return per_kp, hyp_last, state
+
+
+class DLASSOGNNHypOneShotCorrected(DLASSOGNNHypOneShot):
+    """One-shot table + cheap state-conditioned correction (`--hyp_mode GHyp1c`).
+
+    Beyond-reference tier between the one-shot hypernetwork (topology-adaptive but
+    state-blind after iteration 0) and the flagship (a full GNN evaluation per
+    iteration): the GHyp1 table is multiplied per iteration by
+    `1 + 0.5*tanh(mlp(state features))`, where the features are three per-agent
+    magnitude summaries — mean |A^T A y - A^T b| (gradient residual), mean |delta|
+    (consensus residual), mean |y| — log1p-compressed. The corrector is a 3 -> 32 ->
+    4*Pp MLP whose OUTPUT layer is zero-initialized, so at init this tier is exactly
+    GHyp1 (tanh(0)=0); training can then bend each table entry by at most 2x/0.5x
+    based on the live solver state. Serving cost stays table-tier: one GNN evaluation
+    plus K tiny (3x32x4) MLPs — no per-iteration graph convolutions.
+    """
+
+    CORR_HIDDEN = 32
+    CORR_SCALE = 0.5
+
+    def init(self, key: jax.Array) -> Tuple[dict, dict]:
+        k_base, k_corr = jax.random.split(key)
+        params, state = super().init(k_base)
+        h, dt = self.CORR_HIDDEN, self.A.dtype
+        params["corr"] = {
+            "w1": gcn.xavier_uniform(k_corr, 3, h, dtype=dt),
+            "b1": jnp.zeros((h,), dt),
+            # zero-init head => correction factor exactly 1.0 at init (= GHyp1)
+            "w2": jnp.zeros((h, 4), dt),
+            "b2": jnp.zeros((4,), dt),
+        }
+        return params, state
+
+    def _step_hyp(self, params, st, AtAy, Atb, hyp_k):
+        c = params["corr"]
+        feats = jnp.stack([
+            jnp.mean(jnp.abs(AtAy - Atb), axis=-1),    # [B, P] gradient residual
+            jnp.mean(jnp.abs(st.delta), axis=-1),      # [B, P] consensus residual
+            jnp.mean(jnp.abs(st.y), axis=-1),          # [B, P] iterate magnitude
+        ], axis=-1)                                     # [B, P, 3]
+        feats = jnp.log1p(feats.astype(c["w1"].dtype))
+        raw = gcn.leaky_relu(feats @ c["w1"] + c["b1"]) @ c["w2"] + c["b2"]  # [B,P,4]
+        if self.Pp == 1:
+            raw = jnp.mean(raw, axis=1, keepdims=True)  # 'same' mode: shared factor
+        factor = 1.0 + self.CORR_SCALE * jnp.tanh(raw)
+        return jnp.clip(hyp_k.astype(factor.dtype) * factor, 1e-4, 0.99)
 
 
 class DLASSOGNNHyp(object):

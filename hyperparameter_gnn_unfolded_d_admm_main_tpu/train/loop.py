@@ -33,7 +33,8 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..models.gnn_hypernet import DLASSOGNNHyp, DLASSOGNNHypOneShot
+from ..models.gnn_hypernet import (DLASSOGNNHyp, DLASSOGNNHypOneShot,
+                                    DLASSOGNNHypOneShotCorrected)
 from ..models.unfolded import UnfoldedDLASSO
 from ..ops import data as data_ops
 from ..ops import graphs, sensing
@@ -257,8 +258,10 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     b_va, y_va = data_ops.make_dataset(k_data_va, A, cfg.test_size, cfg.snr, noise=cfg.data_noise)
 
     # --hyp_mode GHyp1 selects the one-shot tier (table emitted by ONE GNN evaluation,
-    # archive v1 design); default is the state-conditioned flagship.
-    model_cls = DLASSOGNNHypOneShot if cfg.hyp_mode == "GHyp1" else DLASSOGNNHyp
+    # archive v1 design); GHyp1c adds the state-conditioned correction MLP; default
+    # is the state-conditioned flagship.
+    model_cls = {"GHyp1": DLASSOGNNHypOneShot,
+                 "GHyp1c": DLASSOGNNHypOneShotCorrected}.get(cfg.hyp_mode, DLASSOGNNHyp)
     model = model_cls(A, cfg)
     params, norm_state = model.init(k_model)
     tx = optim.make_optimizer("adamw", cfg.lr, weight_decay=1e-5, clip_norm=100.0)
@@ -462,7 +465,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     np.save(os.path.join(out_dir, "A.npy"), np.asarray(A))
     # Normalize the recorded tier so evaluate dispatches on config, not on the run
     # directory name (reference semantics: hyp_mode 'GHyp' = GNN hypernetwork).
-    fam = cfg.hyp_mode if cfg.hyp_mode in ("GHyp", "GHyp1") else "GHyp"
+    fam = cfg.hyp_mode if cfg.hyp_mode in ("GHyp", "GHyp1", "GHyp1c") else "GHyp"
     save_json(os.path.join(out_dir, "args.json"), cfg.replace(hyp_mode=fam).__dict__)
     log.cprint(f"best valid loss: {stopper.best:.6f}")
     return {

@@ -261,3 +261,49 @@ def test_gnn_bf16_solver_state(rng):
     np.testing.assert_allclose(
         np.asarray(Y16, dtype=np.float32), np.asarray(Y32), rtol=0.15, atol=0.15
     )
+
+
+def test_oneshot_corrected_tier():
+    """GHyp1c (one-shot table + state-conditioned correction MLP): zero-init head
+    makes it EXACTLY GHyp1 at init; the corrector receives gradients; masked-K path
+    composes."""
+    import jax
+    import jax.numpy as jnp
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import (
+        DLASSOGNNHypOneShot, DLASSOGNNHypOneShotCorrected)
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses as loss_lib
+
+    cfg = Config(P=4, m=8, n=10, GHyp_hidden=4, GHN_iter_num=3, batch_size=4)
+    A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
+    b, y = data_ops.make_dataset(jax.random.key(1), A, cfg.batch_size, snr=cfg.snr)
+    adj = jnp.asarray(graphs.fast_sample_connected_er(0, cfg.batch_size, cfg.P, 0.5))
+    key = jax.random.key(2)
+
+    base = DLASSOGNNHypOneShot(A, cfg)
+    corr = DLASSOGNNHypOneShotCorrected(A, cfg)
+    p_base, _ = base.init(jax.random.key(3))
+    p_corr, _ = corr.init(jax.random.key(3))
+
+    # identical at init (zero-init correction head)
+    Yb = base.apply(p_base, {}, key, b, adj, training=False).Y
+    Yc = corr.apply(p_corr, {}, key, b, adj, training=False).Y
+    np.testing.assert_array_equal(np.asarray(Yc), np.asarray(Yb))
+
+    # the corrector gets nonzero gradients (w2 via its zero weights' grad; w1 too
+    # once w2 moves — check w2 at init)
+    def lf(p):
+        per_kp, _, _ = corr.apply_losses(p, {}, key, b, adj, y, training=True)
+        return loss_lib.losses_from_per_kp(per_kp)[1]
+
+    g = jax.grad(lf)(p_corr)
+    assert float(jnp.abs(g["corr"]["w2"]).sum()) > 0.0
+
+    # masked-K composes: masked k_active=2 == sliced K=2
+    per_s, _, _ = corr.apply_losses(p_corr, {}, key, b, adj, y,
+                                    training_iterations=2, training=True)
+    per_m, _, _ = corr.apply_losses(p_corr, {}, key, b, adj, y,
+                                    training=True, k_active=jnp.int32(2))
+    np.testing.assert_allclose(np.asarray(per_m[:2]), np.asarray(per_s), rtol=1e-6)
