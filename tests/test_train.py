@@ -189,8 +189,11 @@ def test_masked_k_matches_sliced_scan():
             np.testing.assert_allclose(float(lf_m), float(lf_s), rtol=1e-6)
             for a, c in zip(jax.tree_util.tree_leaves(g_m),
                             jax.tree_util.tree_leaves(g_s)):
+                # fp32 reassociation noise between the two compiled programs
+                # (masked vs sliced scan fuse differently); a masking bug would
+                # show up as O(1) relative error, far above this tolerance.
                 np.testing.assert_allclose(np.asarray(a), np.asarray(c),
-                                           rtol=2e-5, atol=1e-7)
+                                           rtol=2e-4, atol=1e-6)
             # final iterate parity through the freeze (apply path)
             out_s = model.apply(params, state, key, b, adj,
                                 training_iterations=K, training=False)
