@@ -77,7 +77,8 @@ def main(argv=None):
             print("note: dlr evaluation currently serves dense float32 — "
                   "--mesh_data/--mesh_agents/--dtype are ignored for this family",
                   file=sys.stderr)
-        from ..models.unfolded_dlr import DLRGNNHyp, DLRGNNHypOneShot, UnfoldedDLR
+        from ..models.unfolded_dlr import (DLRGNNHyp, DLRGNNHypOneShot,
+                                           DLRGNNHypOneShotCorrected, UnfoldedDLR)
 
         key = jax.random.key(int(cfg.seed) + 12345)
         k_data, k_state = jax.random.split(key)
@@ -95,7 +96,9 @@ def main(argv=None):
             per_kp, _ = model.apply_losses(tree["params"], tree["norm_state"],
                                            k_state, x, yt, adj, training=False)
         else:
-            model_cls = DLRGNNHypOneShot if cfg.hyp_mode == "GHyp1" else UnfoldedDLR
+            model_cls = {"GHyp1": DLRGNNHypOneShot,
+                         "GHyp1c": DLRGNNHypOneShotCorrected}.get(cfg.hyp_mode,
+                                                                  UnfoldedDLR)
             model = model_cls(cfg.P, cfg.n, cfg)
             params = model.init()
             tree, meta = ckpt.restore_partial(

@@ -131,7 +131,8 @@ class _Solver:
         import numpy as np
 
         from ..models import seq_hyperparam
-        from ..models.unfolded_dlr import (DLRGNNHyp, DLRGNNHypOneShot, UnfoldedDLR,
+        from ..models.unfolded_dlr import (DLRGNNHyp, DLRGNNHypOneShot,
+                                           DLRGNNHypOneShotCorrected, UnfoldedDLR,
                                            init_state, unroll_table)
         from ..ops import graphs
         from ..utils import checkpoint as ckpt
@@ -156,7 +157,9 @@ class _Solver:
                     training=False, return_state=True)
                 return st.a, st.w
         else:
-            model_cls = DLRGNNHypOneShot if cfg.hyp_mode == "GHyp1" else UnfoldedDLR
+            model_cls = {"GHyp1": DLRGNNHypOneShot,
+                         "GHyp1c": DLRGNNHypOneShotCorrected}.get(cfg.hyp_mode,
+                                                                  UnfoldedDLR)
             model = model_cls(cfg.P, cfg.n, cfg)
             params = model.init()
             tree, _ = ckpt.restore_partial(ckpt_dir, {"params": params})
@@ -165,15 +168,20 @@ class _Solver:
             # (the table tiers' anti-saturation rescale is part of the validated
             # model), so served fits reproduce the reported metrics exactly.
             def fn(key, x, y, adj):
-                if cfg.hyp_mode == "GHyp1":
+                step_fn = None
+                if cfg.hyp_mode in ("GHyp1", "GHyp1c"):
                     table = model.table(tree["params"], x, y, adj, training=True)
+                    if cfg.hyp_mode == "GHyp1c":
+                        step_fn = lambda st, fr, cr, hk: model._step_hyp(
+                            tree["params"], st, fr, cr, hk)
                 else:
                     table = seq_hyperparam.hyp_table(
                         tree["params"]["seq_hyp"], model.max_param, training=True,
                         max_penalty_threshold=cfg.max_penalty_threshold,
                         penalty_reduction_factor=cfg.penalty_reduction_factor)
                 st0 = init_state(key, x.shape[0], cfg.P, cfg.n, dtype=x.dtype)
-                st, _ = unroll_table(st0, table, x, y, adj, remat=cfg.remat)
+                st, _ = unroll_table(st0, table, x, y, adj, remat=cfg.remat,
+                                     step_hyp_fn=step_fn)
                 return st.a, st.w
 
         self._fn = jax.jit(fn)

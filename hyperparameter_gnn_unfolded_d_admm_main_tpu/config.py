@@ -85,7 +85,7 @@ class Config:
     # --- GNN hypernetwork (reference configurations.py:118-128) ---
     GHyp_hidden: int = 100
     DADMM_mode: str = "diff"           # {'same', 'diff'}
-    hyp_mode: str = "unfolded"         # {'GHyp', 'unfolded'} + 'GHyp1' (one-shot tier)
+    hyp_mode: str = "unfolded"         # {'GHyp', 'unfolded'} + 'GHyp1'/'GHyp1c' (one-shot tiers)
     GHN_iter_num: int = 15             # K, unfolded iterations
     save_dir: str = "./results"
     resume: str = ""                   # checkpoint dir (a run's best/ or last/) to

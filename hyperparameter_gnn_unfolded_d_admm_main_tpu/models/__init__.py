@@ -5,9 +5,12 @@ from .classic import DADMMLASSOClassic, DADMMLRClassic
 from .gnn_hypernet import (DLASSOGNNHyp, DLASSOGNNHypOneShot,
                            DLASSOGNNHypOneShotCorrected)
 from .unfolded import UnfoldedDLASSO
-from .unfolded_dlr import DLRGNNHyp, UnfoldedDLR
+from .unfolded_dlr import (DLRGNNHyp, DLRGNNHypOneShot,
+                           DLRGNNHypOneShotCorrected, UnfoldedDLR)
 
 __all__ = [
     "dadmm_core", "seq_hyperparam", "DADMMLASSOClassic", "DADMMLRClassic",
-    "DLASSOGNNHyp", "DLASSOGNNHypOneShot", "DLASSOGNNHypOneShotCorrected", "UnfoldedDLASSO", "DLRGNNHyp", "UnfoldedDLR",
+    "DLASSOGNNHyp", "DLASSOGNNHypOneShot", "DLASSOGNNHypOneShotCorrected",
+    "UnfoldedDLASSO", "DLRGNNHyp", "DLRGNNHypOneShot",
+    "DLRGNNHypOneShotCorrected", "UnfoldedDLR",
 ]

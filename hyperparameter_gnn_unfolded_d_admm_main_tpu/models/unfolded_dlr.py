@@ -67,6 +67,7 @@ def unroll_table(
     adj: jax.Array,           # [B, P, P]
     remat: bool = True,
     neighbor_fn=None,
+    step_hyp_fn=None,
 ) -> Tuple[DLRState, jax.Array]:
     """Scan K dlr iterations; returns (final state, per-iteration per-agent MSE [K,P])
     where the MSE is of the prediction a.x + w against y.
@@ -76,7 +77,11 @@ def unroll_table(
 
     neighbor_fn(v) -> sum over graph neighbors; defaults to the dense local einsum.
     Sharded callers (parallel/unfolded_sharded.make_sharded_dlr_unroll) substitute a
-    collective schedule — `adj` then holds only the local agent ROWS [B, Pl, P]."""
+    collective schedule — `adj` then holds only the local agent ROWS [B, Pl, P].
+
+    step_hyp_fn(state, fit_residual [B,P,1], consensus_residual [B,P,d], hyp_k)
+    -> hyp_k: optional per-iteration hyperparameter hook (the GHyp1c corrected
+    one-shot tier, DLRGNNHypOneShotCorrected)."""
     deg = jnp.sum(adj, axis=-1)[..., None]   # [B, P, 1]
     if neighbor_fn is None:
         neighbor_fn = lambda v: _neighbor_sum(adj, v)
@@ -87,17 +92,19 @@ def unroll_table(
         st, k = carry, xs[0]
         # normalize to [B|1, Pp, 6] so hyperparameter factors broadcast over [B,P,d]
         hyp_k = xs[1] if per_sample else xs[1][None]
+        c = dadmm_core.unfolded_clamps(k)
+        a, w, mu, lamda = st
+        sum_a = neighbor_fn(a)
+        sum_w = neighbor_fn(w)
+        xta = jnp.sum(x * a, axis=-1, keepdims=True)   # [B,P,1]
+        if step_hyp_fn is not None:
+            hyp_k = step_hyp_fn(st, xta + w - y, deg * a - sum_a, hyp_k)
         rho = hyp_k[..., 0:1]
         alpha = hyp_k[..., 1:2]
         delt = hyp_k[..., 2:3]
         eta = hyp_k[..., 3:4]
         gamma = hyp_k[..., 4:5]
         beta = hyp_k[..., 5:6]
-        c = dadmm_core.unfolded_clamps(k)
-        a, w, mu, lamda = st
-        sum_a = neighbor_fn(a)
-        sum_w = neighbor_fn(w)
-        xta = jnp.sum(x * a, axis=-1, keepdims=True)   # [B,P,1]
         g_a = x * xta + x * w - x * y + rho * deg * a + deg * mu - rho * sum_a
         g_w = xta + w - y + delt * deg * w + deg * lamda - delt * sum_w
         g_a = jnp.clip(g_a, -c.grad, c.grad)
@@ -364,4 +371,70 @@ class DLRGNNHypOneShot:
         table = self.table(params, x, y, adj, K, training=training)  # [B,K,Pp,6]
         state = init_state(key, x.shape[0], self.P, self.d, dtype=x.dtype)
         _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat)
+        return per_kp, jnp.mean(table[:, K - 1], axis=0)
+
+
+class DLRGNNHypOneShotCorrected(DLRGNNHypOneShot):
+    """One-shot table + cheap state-conditioned correction (`--hyp_mode GHyp1c`).
+
+    The dlr analogue of `models/gnn_hypernet.py:DLASSOGNNHypOneShotCorrected`: the
+    GHyp1 table is bent per iteration by `1 + 0.5*tanh(mlp(state features))`, where
+    the features are three per-agent magnitude summaries — mean |x.a + w - y| (fit
+    residual), mean |deg*a - sum_N(a)| (consensus residual on the weights), mean |a|
+    (iterate magnitude) — log1p-compressed. The corrector is a 3 -> 32 -> 6 MLP whose
+    OUTPUT layer is zero-initialized, so at init this tier is exactly GHyp1
+    (tanh(0)=0). Serving stays table-tier: one GNN evaluation per solve plus K tiny
+    MLPs, no per-iteration graph convolutions.
+    """
+
+    CORR_HIDDEN = 32
+    CORR_SCALE = 0.5
+
+    def init(self) -> dict:
+        from ..ops import gcn
+
+        params = super().init()
+        h = self.CORR_HIDDEN
+        k = jax.random.key(int(self.cfg.seed) + 101)
+        params["corr"] = {
+            "w1": gcn.xavier_uniform(k, 3, h),
+            "b1": jnp.zeros((h,), jnp.float32),
+            # zero-init head => correction factor exactly 1.0 at init (= GHyp1)
+            "w2": jnp.zeros((h, 6), jnp.float32),
+            "b2": jnp.zeros((6,), jnp.float32),
+        }
+        return params
+
+    def _step_hyp(self, params, st, fit_res, cons_res, hyp_k):
+        from ..ops import gcn
+
+        c = params["corr"]
+        feats = jnp.stack([
+            jnp.mean(jnp.abs(fit_res), axis=-1),    # [B, P] fit residual
+            jnp.mean(jnp.abs(cons_res), axis=-1),   # [B, P] consensus residual
+            jnp.mean(jnp.abs(st.a), axis=-1),       # [B, P] iterate magnitude
+        ], axis=-1)                                  # [B, P, 3]
+        feats = jnp.log1p(feats.astype(c["w1"].dtype))
+        raw = gcn.leaky_relu(feats @ c["w1"] + c["b1"]) @ c["w2"] + c["b2"]  # [B,P,6]
+        if self.Pp == 1:
+            raw = jnp.mean(raw, axis=1, keepdims=True)  # 'same' mode: shared factor
+        factor = 1.0 + self.CORR_SCALE * jnp.tanh(raw)
+        return jnp.clip(hyp_k.astype(factor.dtype) * factor, 1e-4, 0.99)
+
+    def apply_losses(
+        self,
+        params: dict,
+        key: jax.Array,
+        x: jax.Array,
+        y: jax.Array,
+        adj: jax.Array,
+        K: Optional[int] = None,
+        training: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        K = self.K if K is None else min(K, self.K)
+        table = self.table(params, x, y, adj, K, training=training)  # [B,K,Pp,6]
+        state = init_state(key, x.shape[0], self.P, self.d, dtype=x.dtype)
+        step_fn = lambda st, fr, cr, hk: self._step_hyp(params, st, fr, cr, hk)
+        _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat,
+                                 step_hyp_fn=step_fn)
         return per_kp, jnp.mean(table[:, K - 1], axis=0)

@@ -491,7 +491,8 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
     state-conditioned GNN hypernetwork (reference flag `configurations.py:123`),
     'GHyp1' = the one-shot hypernetwork (full table from one GNN evaluation; shares
     the table tier's stateless harness path)."""
-    from ..models.unfolded_dlr import DLRGNNHyp, DLRGNNHypOneShot, UnfoldedDLR
+    from ..models.unfolded_dlr import (DLRGNNHyp, DLRGNNHypOneShot,
+                                       DLRGNNHypOneShotCorrected, UnfoldedDLR)
 
     log = IOStream(os.path.join(out_dir, "run.log"))
     key = jax.random.key(int(cfg.seed))
@@ -508,7 +509,8 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         model = DLRGNNHyp(cfg.P, d, cfg)
         params, norm_state = model.init(k_model)
     else:
-        model_cls = DLRGNNHypOneShot if cfg.hyp_mode == "GHyp1" else UnfoldedDLR
+        model_cls = {"GHyp1": DLRGNNHypOneShot,
+                     "GHyp1c": DLRGNNHypOneShotCorrected}.get(cfg.hyp_mode, UnfoldedDLR)
         model = model_cls(cfg.P, d, cfg)
         params, norm_state = model.init(), {}
     tx = optim.make_optimizer("adam", cfg.lr)

@@ -366,3 +366,43 @@ def test_dlr_gnn_hypernetwork_trains(tmp_path):
     assert res["best_valid_loss"] < first, (res["best_valid_loss"], first)
     out = evaluate.main([res["out_dir"], "--test_size", "8"])
     assert np.isfinite(out["loss_curve"]).all()
+
+
+def test_dlr_oneshot_corrected_starts_at_oneshot_and_trains(tmp_path):
+    """GHyp1c dlr tier: (a) with the zero-init correction head it is EXACTLY GHyp1
+    at init (tanh(0)=0 => factor 1.0); (b) it trains end-to-end through the CLI and
+    evaluate serves the checkpoint."""
+    import jax
+
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate, unfolded_dlr as drv
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.unfolded_dlr import (
+        DLRGNNHypOneShot, DLRGNNHypOneShotCorrected)
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs
+
+    P, d, B = 4, 8, 4
+    cfg = Config(P=P, n=d, GHN_iter_num=4, GHyp_hidden=4, batch_size=B)
+    x, y = data_ops.make_dlr_dataset(jax.random.key(0), P, B, d, cfg.snr)
+    adj = jnp.asarray(graphs.fast_sample_connected_er(0, B, P, 0.5))
+    base = DLRGNNHypOneShot(P, d, cfg)
+    corr = DLRGNNHypOneShotCorrected(P, d, cfg)
+    per_b, _ = base.apply_losses(base.init(), jax.random.key(1), x, y, adj)
+    per_c, _ = corr.apply_losses(corr.init(), jax.random.key(1), x, y, adj)
+    np.testing.assert_allclose(np.asarray(per_c), np.asarray(per_b),
+                               rtol=1e-6, atol=1e-7)
+
+    res = drv.main([
+        "--P", "4", "--n", "8", "--GHN_iter_num", "3", "--GHyp_hidden", "4",
+        "--batch_size", "4", "--train_size", "16", "--test_size", "8",
+        "--num_epochs", "6", "--lr", "1e-2", "--hyp_mode", "GHyp1c",
+        "--save_dir", str(tmp_path / "dlr1c"),
+    ])
+    import os
+    assert np.isfinite(res["best_valid_loss"])
+    with open(os.path.join(res["out_dir"], "losses.csv")) as f:
+        rows = f.read().strip().splitlines()[1:]
+    first = float(rows[0].split(",")[2])
+    assert res["best_valid_loss"] < first, (res["best_valid_loss"], first)
+    out = evaluate.main([res["out_dir"], "--test_size", "8"])
+    assert np.isfinite(out["loss_curve"]).all()
