@@ -49,7 +49,12 @@ def analyze(losses: np.ndarray) -> dict:
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     runs = {}
-    for arg in argv:
+    out_dir = None
+    it = iter(argv)
+    for arg in it:
+        if arg == "--out":                 # optional fixed output dir (new surface;
+            out_dir = next(it, None)       # the reference always timestamps under
+            continue                       # results/, which stays the default)
         if "=" not in arg:
             print(f"skipping malformed arg {arg!r} (expected name=path.csv)")
             continue
@@ -63,8 +68,9 @@ def main(argv=None):
         return {}
 
     results = {name: analyze(v) for name, v in runs.items()}
-    ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-    out_dir = os.path.join("results", f"validation_loss_summary_{ts}")
+    if out_dir is None:
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        out_dir = os.path.join("results", f"validation_loss_summary_{ts}")
     os.makedirs(out_dir, exist_ok=True)
 
     with open(os.path.join(out_dir, "validation_loss_summary.csv"), "w", newline="") as f:
