@@ -54,7 +54,10 @@ def main(argv=None):
     for arg in it:
         if arg == "--out":                 # optional fixed output dir (new surface;
             out_dir = next(it, None)       # the reference always timestamps under
-            continue                       # results/, which stays the default)
+            if out_dir is None:            # results/, which stays the default)
+                print("--out requires a directory argument")
+                return {}
+            continue
         if "=" not in arg:
             print(f"skipping malformed arg {arg!r} (expected name=path.csv)")
             continue

@@ -14,7 +14,7 @@ and reports the loss-vs-iteration convergence curve, final loss, and NMSE.
 `--dtype bfloat16` serves the solver with a bf16 state (half the HBM state traffic;
 NMSE within a 0.5% gate of f32 on the trained flagship, 0.08% measured — PARITY.md). `--mesh_data/--mesh_agents`
 (unfolded family) shard batch serving over a device mesh with collective consensus;
-the GNN family (GHyp/GHyp1 runs) shards the data axis (`--mesh_data N`).
+the GNN family (GHyp/GHyp1/GHyp1c runs) shards the data axis (`--mesh_data N`).
 """
 
 from __future__ import annotations

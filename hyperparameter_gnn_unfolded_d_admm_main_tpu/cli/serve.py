@@ -171,9 +171,7 @@ class _Solver:
                 step_fn = None
                 if cfg.hyp_mode in ("GHyp1", "GHyp1c"):
                     table = model.table(tree["params"], x, y, adj, training=True)
-                    if cfg.hyp_mode == "GHyp1c":
-                        step_fn = lambda st, fr, cr, hk: model._step_hyp(
-                            tree["params"], st, fr, cr, hk)
+                    step_fn = model.make_step_fn(tree["params"])  # None for GHyp1
                 else:
                     table = seq_hyperparam.hyp_table(
                         tree["params"]["seq_hyp"], model.max_param, training=True,

@@ -355,6 +355,12 @@ class DLRGNNHypOneShot:
             table = table * scale[..., None, None]
         return jnp.clip(table, 1e-4, 0.99)
 
+    def make_step_fn(self, params: dict):
+        """Per-iteration hyperparameter hook for unroll_table; the plain one-shot
+        tier has none (the corrected tier overrides this). Public so the serving
+        path drives the exact same unroll as training/evaluate."""
+        return None
+
     def apply_losses(
         self,
         params: dict,
@@ -370,7 +376,8 @@ class DLRGNNHypOneShot:
         K = self.K if K is None else min(K, self.K)
         table = self.table(params, x, y, adj, K, training=training)  # [B,K,Pp,6]
         state = init_state(key, x.shape[0], self.P, self.d, dtype=x.dtype)
-        _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat)
+        _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat,
+                                 step_hyp_fn=self.make_step_fn(params))
         return per_kp, jnp.mean(table[:, K - 1], axis=0)
 
 
@@ -405,36 +412,22 @@ class DLRGNNHypOneShotCorrected(DLRGNNHypOneShot):
         }
         return params
 
-    def _step_hyp(self, params, st, fit_res, cons_res, hyp_k):
+    def make_step_fn(self, params: dict):
         from ..ops import gcn
 
         c = params["corr"]
-        feats = jnp.stack([
-            jnp.mean(jnp.abs(fit_res), axis=-1),    # [B, P] fit residual
-            jnp.mean(jnp.abs(cons_res), axis=-1),   # [B, P] consensus residual
-            jnp.mean(jnp.abs(st.a), axis=-1),       # [B, P] iterate magnitude
-        ], axis=-1)                                  # [B, P, 3]
-        feats = jnp.log1p(feats.astype(c["w1"].dtype))
-        raw = gcn.leaky_relu(feats @ c["w1"] + c["b1"]) @ c["w2"] + c["b2"]  # [B,P,6]
-        if self.Pp == 1:
-            raw = jnp.mean(raw, axis=1, keepdims=True)  # 'same' mode: shared factor
-        factor = 1.0 + self.CORR_SCALE * jnp.tanh(raw)
-        return jnp.clip(hyp_k.astype(factor.dtype) * factor, 1e-4, 0.99)
 
-    def apply_losses(
-        self,
-        params: dict,
-        key: jax.Array,
-        x: jax.Array,
-        y: jax.Array,
-        adj: jax.Array,
-        K: Optional[int] = None,
-        training: bool = True,
-    ) -> Tuple[jax.Array, jax.Array]:
-        K = self.K if K is None else min(K, self.K)
-        table = self.table(params, x, y, adj, K, training=training)  # [B,K,Pp,6]
-        state = init_state(key, x.shape[0], self.P, self.d, dtype=x.dtype)
-        step_fn = lambda st, fr, cr, hk: self._step_hyp(params, st, fr, cr, hk)
-        _, per_kp = unroll_table(state, table, x, y, adj, remat=self.cfg.remat,
-                                 step_hyp_fn=step_fn)
-        return per_kp, jnp.mean(table[:, K - 1], axis=0)
+        def step_fn(st, fit_res, cons_res, hyp_k):
+            feats = jnp.stack([
+                jnp.mean(jnp.abs(fit_res), axis=-1),    # [B, P] fit residual
+                jnp.mean(jnp.abs(cons_res), axis=-1),   # [B, P] consensus residual
+                jnp.mean(jnp.abs(st.a), axis=-1),       # [B, P] iterate magnitude
+            ], axis=-1)                                  # [B, P, 3]
+            feats = jnp.log1p(feats.astype(c["w1"].dtype))
+            raw = gcn.leaky_relu(feats @ c["w1"] + c["b1"]) @ c["w2"] + c["b2"]
+            if self.Pp == 1:
+                raw = jnp.mean(raw, axis=1, keepdims=True)  # 'same': shared factor
+            factor = 1.0 + self.CORR_SCALE * jnp.tanh(raw)   # [B, P|1, 6]
+            return jnp.clip(hyp_k.astype(factor.dtype) * factor, 1e-4, 0.99)
+
+        return step_fn

@@ -490,7 +490,8 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
     hyperparameter tier — 'unfolded' = learned 6-param table, 'GHyp' = the
     state-conditioned GNN hypernetwork (reference flag `configurations.py:123`),
     'GHyp1' = the one-shot hypernetwork (full table from one GNN evaluation; shares
-    the table tier's stateless harness path)."""
+    the table tier's stateless harness path), 'GHyp1c' = one-shot table x a
+    state-conditioned correction MLP (same harness path)."""
     from ..models.unfolded_dlr import (DLRGNNHyp, DLRGNNHypOneShot,
                                        DLRGNNHypOneShotCorrected, UnfoldedDLR)
 
