@@ -41,6 +41,13 @@ def test_compare_cli(tmp_path, monkeypatch):
     out_dirs = os.listdir(tmp_path / "results")
     assert any(d.startswith("validation_loss_summary") for d in out_dirs)
 
+    # --out pins the output dir (new surface); missing value errors instead of
+    # silently timestamping under results/
+    results = compare.main([f"runA={a}", "--out", str(tmp_path / "fixed")])
+    assert "runA" in results
+    assert os.path.exists(tmp_path / "fixed" / "validation_loss_summary.csv")
+    assert compare.main([f"runA={a}", "--out"]) == {}
+
 
 def test_classic_dlasso_cli_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
