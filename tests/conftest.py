@@ -20,6 +20,19 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Build the native library up front when a toolchain is present, so the
+# tests/test_native.py coverage doesn't silently skip on a fresh checkout
+# (the .so is gitignored). Failure to build falls back to the skip markers.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "native", "libgraph_builder.so")
+if not os.path.exists(_SO):
+    import shutil
+    import subprocess
+
+    if shutil.which("make") and shutil.which("g++"):
+        subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
+                       check=False, capture_output=True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
