@@ -139,6 +139,19 @@ class Config:
                                        # (0 = off, reference-faithful); stabilizes the
                                        # attention encoder's seed sensitivity
                                        # (train/schedule.py:warmup_factor)
+    data_path: str = ""                # load the train/test pool from a saved npz
+                                       # (ops/datastore.py; make one with
+                                       # `python -m ...cli.data_tool make`) using the
+                                       # reference's head/tail slicing + 1200-sample
+                                       # truncation (LoadData.py:16-24); the dlr
+                                       # drivers treat it as a local-MNIST directory.
+                                       # Empty = seeded on-device regeneration.
+    decoder_type: str = "flattened"    # flagship hypernetwork head: 'flattened' =
+                                       # reference-faithful P*4h->MLP (params O(P),
+                                       # gnn_dlasso_models_progressive.py:93-106);
+                                       # 'nodewise' = shared per-agent MLP head whose
+                                       # parameter count is independent of P — the
+                                       # pod-scale head ('same' mode pools embeddings)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

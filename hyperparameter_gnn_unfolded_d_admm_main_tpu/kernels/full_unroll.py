@@ -414,3 +414,269 @@ def _factored_bwd(res, g):
 
 
 fused_unroll_factored.defvjp(_factored_fwd, _factored_bwd)
+
+
+# ---------------------------------------------------------------------------
+# bf16 VMEM-resident variant for LARGE P (the headline P=64 shape).
+#
+# Round-1's kernels assumed a ~12 MB VMEM budget (the conservative "~16 MB/core"
+# guide figure) and lost at P=64 because nothing stayed resident. Measured on the
+# actual v5e chip: a 120 MB VMEM scratch compiles and runs — v5e has ~128 MB of
+# VMEM per core. That changes the design space completely:
+#
+#   * A and A^T live in VMEM in bf16 for the WHOLE call (P=64, m->128, n=512:
+#     16.8 MB total) — zero per-iteration operand traffic.
+#   * The solver state (y, U, delta, Atb) for a 64-scenario batch tile lives in
+#     bf16 scratch across all K iterations — zero per-iteration state traffic.
+#     (The XLA scan path re-reads + re-writes ~140 MB of HBM state per iteration;
+#     that traffic is exactly what this kernel deletes.)
+#   * Consensus runs on the MXU as per-scenario [P,P] @ [P,n] matmuls in a
+#     [Bt, P, n] layout (the O(P) broadcast-FMA loop of the small-P kernels is
+#     VPU-bound at P=64: ~128 VPU ops/element/iteration). The layout swap between
+#     the agent-leading matvec view and the batch-leading consensus view is done
+#     with STATIC-index sublane copies — traced middle-dim indexing is the known
+#     silent-miscompile on TPU (see the module docstring).
+#
+# Grid = (B/Bt, K): K advances fastest, state scratch persists across grid steps
+# (TPU grids execute sequentially), and each step's y snapshot streams out through
+# the pipelined out_spec block, overlapping the DMA with the next iteration.
+#
+# Numerics: bf16 storage everywhere, f32 MXU accumulation, f32 elementwise math —
+# the same contract as the XLA `solver_dtype='bfloat16'` serving mode (NMSE-gated,
+# not trajectory-parity; see bench.py). Reference anchor for the fused step:
+# `unfolded_DLASSO.py:69-99` (SURVEY section 3.5).
+# ---------------------------------------------------------------------------
+
+_BF = jnp.bfloat16
+
+# Mosaic needs headroom above our accounted buffers (register spills, pipeline
+# bookkeeping); cap our own accounting well below the ~128 MB physical VMEM.
+_RESIDENT_VMEM_BUDGET = 100 * 1024 * 1024
+_RESIDENT_VMEM_LIMIT = 120 * 1024 * 1024
+
+
+def _make_resident_kernel(K: int, P: int, mp: int, n: int, block_b: int, n_tiles: int):
+    def kernel(hyp_ref, clip_ref, A_hbm, At_hbm, y0_hbm, U0_hbm, d0_hbm, Atb_hbm,
+               adjB_ref, Y_ref,
+               A_sc, At_sc, y_sc, U_sc, d_sc, Atb_sc, atay_sc, yB_sc, nB_sc, nP_sc,
+               dma_sems):
+        j = pl.program_id(0)
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _load_tile():
+            # Operands once per call, state once per batch tile.
+            @pl.when(j == 0)
+            def _():
+                for i, (src, dst) in enumerate(((A_hbm, A_sc), (At_hbm, At_sc))):
+                    cp = pltpu.make_async_copy(src, dst, dma_sems.at[i])
+                    cp.start()
+                for i, (src, dst) in enumerate(((A_hbm, A_sc), (At_hbm, At_sc))):
+                    pltpu.make_async_copy(src, dst, dma_sems.at[i]).wait()
+
+            # Atb stays f32 (read every iteration, written once; bf16-rounding the
+            # constant observation term measurably degrades the trajectory — 9%
+            # divergence from the dtype-contract restatement in interpret mode).
+            tile = pl.ds(j * block_b, block_b)
+            srcs = ((y0_hbm, y_sc), (U0_hbm, U_sc), (d0_hbm, d_sc), (Atb_hbm, Atb_sc))
+            for i, (src, dst) in enumerate(srcs):
+                pltpu.make_async_copy(src.at[:, tile], dst, dma_sems.at[i]).start()
+            for i, (src, dst) in enumerate(srcs):
+                pltpu.make_async_copy(src.at[:, tile], dst, dma_sems.at[i]).wait()
+
+        # deg[p, b] from the batch-leading adjacency block (0/1 entries are exact
+        # in bf16; sums <= P-1 stay exact under f32 accumulation).
+        deg_bp = jnp.sum(adjB_ref[:].astype(jnp.float32), axis=-1)   # [Bt, P]
+        deg = jnp.transpose(deg_bp)[..., None]                        # [P, Bt, 1]
+
+        # ---- primal: per-agent factored matvec, operands resident (fori: leading
+        # -dim dynamic indexing only).
+        def mv(p, _):
+            Ay = jnp.dot(y_sc[p], At_sc[p], preferred_element_type=jnp.float32)
+            atay_sc[p] = jnp.dot(Ay.astype(_BF), A_sc[p],
+                                 preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, P, mv, 0)
+
+        hyp_k = hyp_ref[k]                       # [P, 4] f32
+        alpha = hyp_k[:, 0][:, None, None]
+        tau = hyp_k[:, 1][:, None, None]
+        rho = hyp_k[:, 2][:, None, None]
+        eta = hyp_k[:, 3][:, None, None]
+        gclip = clip_ref[k, 0]
+        vclip = clip_ref[k, 1]
+        dclip = clip_ref[k, 2]
+        uclip = clip_ref[k, 3]
+
+        y = y_sc[:].astype(jnp.float32)
+        grad = (atay_sc[:] - Atb_sc[:]
+                + jnp.sign(y) * tau
+                + U_sc[:].astype(jnp.float32) * deg
+                + d_sc[:].astype(jnp.float32) * rho)
+        grad = jnp.clip(grad, -gclip, gclip)
+        y = jnp.clip(y - alpha * grad, -vclip, vclip)
+        y_sc[:] = y.astype(_BF)
+
+        # ---- layout swap [P,Bt,n] -> [Bt,P,n]: static middle-index stores only.
+        for p in range(P):
+            yB_sc[:, p, :] = y_sc[p]
+
+        # ---- consensus on the MXU: per-scenario adj_b [P,P] @ y_b [P,n].
+        def cons(b, _):
+            nB_sc[b] = jnp.dot(adjB_ref[b], yB_sc[b],
+                               preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, block_b, cons, 0)
+
+        for p in range(P):
+            nP_sc[p] = nB_sc[:, p, :]
+
+        delta = 2.0 * (deg * y - nP_sc[:])
+        delta = jnp.clip(delta, -dclip, dclip)
+        d_sc[:] = delta.astype(_BF)
+        U = jnp.clip(U_sc[:].astype(jnp.float32) + eta * delta, -uclip, uclip)
+        U_sc[:] = U.astype(_BF)
+
+        Y_ref[0] = y_sc[:]
+
+    return kernel
+
+
+def _pick_block_b_resident(B: int, P: int, mp: int, n: int) -> int:
+    """Largest bf16 batch tile fitting the measured VMEM budget: fixed cost is the
+    resident A + A^T; per-Bt cost is 4 bf16 state buffers + 1 f32 matvec output +
+    1 bf16 + 2 f32 layout-swap buffers + the double-buffered out block and
+    adjacency block."""
+    fixed = 2 * P * mp * n * 2
+    # per-Bt VMEM bytes per agent-row element: y/U/d bf16 (6) + Atb f32 (4) +
+    # AtAy f32 (4) + batch-leading y bf16 (2) + neigh f32 x2 views (8)
+    per_bt = P * n * (3 * 2 + 4 + 4 + 2 + 4 + 4) + 2 * (P * n * 2) + 2 * (2 * P * P)
+    for cand in (128, 64, 32, 16):
+        if B % cand == 0 and fixed + cand * per_bt <= _RESIDENT_VMEM_BUDGET:
+            return cand
+    return 0
+
+
+def _jnp_unroll_resident(A, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
+    """jnp restatement with the kernel's exact dtype contract (bf16 storage, bf16
+    MXU operands, f32 accumulate/elementwise) — fallback + VJP recompute."""
+    A_lo = A.astype(_BF)
+
+    def matvec(y):
+        Ay = jnp.einsum("pmn,bpn->bpm", A_lo, y.astype(_BF),
+                        preferred_element_type=jnp.float32)
+        return jnp.einsum("pmn,bpm->bpn", A_lo, Ay.astype(_BF),
+                          preferred_element_type=jnp.float32)
+
+    adj_lo = adj.astype(_BF)
+
+    def body(carry, xs):
+        y, U, d = carry
+        hyp_k, clips = xs
+        alpha = hyp_k[None, :, 0:1]
+        tau = hyp_k[None, :, 1:2]
+        rho = hyp_k[None, :, 2:3]
+        eta = hyp_k[None, :, 3:4]
+        yf = y.astype(jnp.float32)
+        grad = (matvec(y) - Atb.astype(jnp.float32) + jnp.sign(yf) * tau
+                + U.astype(jnp.float32) * deg[..., None]
+                + d.astype(jnp.float32) * rho)
+        grad = jnp.clip(grad, -clips[0], clips[0])
+        yf = jnp.clip(yf - alpha * grad, -clips[1], clips[1])
+        y = yf.astype(_BF)
+        neigh = jnp.einsum("bpq,bqn->bpn", adj_lo, y,
+                           preferred_element_type=jnp.float32)
+        df = 2.0 * (deg[..., None] * yf - neigh)
+        df = jnp.clip(df, -clips[2], clips[2])
+        d = df.astype(_BF)
+        U = jnp.clip(U.astype(jnp.float32) + eta * df, -clips[3], clips[3]).astype(_BF)
+        return (y, U, d), y
+
+    st = tuple(x.astype(_BF) for x in (y0, U0, d0))
+    _, Y = jax.lax.scan(body, st, (hyp_table, clip_table))
+    return Y
+
+
+@jax.custom_vjp
+def fused_unroll_resident(A, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table):
+    """Full-K fused unroll with EVERYTHING resident in VMEM, bf16 storage.
+
+    Shapes: A [P,m,n]; y0/U0/d0/Atb [B,P,n]; deg [B,P]; adj [B,P,P]; hyp_table
+    [K,P,4] (alpha,tau,rho,eta); clip_table [K,4]. Returns Y [K,B,P,n] bf16.
+    Falls back to the jnp bf16 restatement when shapes are unaligned or nothing
+    fits (P not multiple of 8, n not multiple of 128, no viable batch tile).
+    """
+    B, P, n = y0.shape
+    K = hyp_table.shape[0]
+    m = A.shape[1]
+    mp = -(-m // 128) * 128
+    block_b = _pick_block_b_resident(B, P, mp, n)
+    if not block_b or n % 128 or P % 8:
+        return _jnp_unroll_resident(A, y0, U0, d0, Atb, deg, adj, hyp_table, clip_table)
+
+    A_pad = jnp.pad(A, ((0, 0), (0, mp - m), (0, 0))).astype(_BF)   # [P, mp, n]
+    At_pad = jnp.transpose(A_pad, (0, 2, 1))                         # [P, n, mp]
+    t = lambda x: jnp.transpose(x.astype(_BF), (1, 0, 2))            # [B,P,n]->[P,B,n]
+    n_tiles = B // block_b
+    kernel = _make_resident_kernel(K, P, mp, n, block_b, n_tiles)
+    Y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, P, B, n), _BF),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_tiles, K),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # hyp_table [K,P,4]
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # clip_table [K,4]
+                pl.BlockSpec(memory_space=pl.ANY),       # A (DMA'd once)
+                pl.BlockSpec(memory_space=pl.ANY),       # At (DMA'd once)
+                pl.BlockSpec(memory_space=pl.ANY),       # y0 [P,B,n]
+                pl.BlockSpec(memory_space=pl.ANY),       # U0
+                pl.BlockSpec(memory_space=pl.ANY),       # d0
+                pl.BlockSpec(memory_space=pl.ANY),       # Atb
+                pl.BlockSpec((block_b, P, P), lambda j, k: (j, 0, 0),
+                             memory_space=pltpu.VMEM),   # adj tile (bf16)
+            ],
+            out_specs=pl.BlockSpec((1, P, block_b, n), lambda j, k: (k, 0, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((P, mp, n), _BF),             # A resident
+                pltpu.VMEM((P, n, mp), _BF),             # At resident
+                pltpu.VMEM((P, block_b, n), _BF),        # y
+                pltpu.VMEM((P, block_b, n), _BF),        # U
+                pltpu.VMEM((P, block_b, n), _BF),        # delta
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # Atb (kept f32)
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # AtAy
+                pltpu.VMEM((block_b, P, n), _BF),        # y, batch-leading view
+                pltpu.VMEM((block_b, P, n), jnp.float32),  # neigh, batch-leading
+                pltpu.VMEM((P, block_b, n), jnp.float32),  # neigh, agent-leading
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * B * P * n * (2 * mp + P),
+            bytes_accessed=2 * K * B * P * n + 2 * 2 * P * mp * n + 4 * 2 * B * P * n,
+            transcendentals=0,
+        ),
+    )(hyp_table, clip_table, A_pad, At_pad, t(y0), t(U0), t(d0),
+      jnp.transpose(Atb, (1, 0, 2)),    # Atb stays f32
+      adj.astype(_BF))
+    return jnp.transpose(Y, (0, 2, 1, 3))              # [K,P,B,n] -> [K,B,P,n]
+
+
+def _resident_fwd(*args):
+    return fused_unroll_resident(*args), args
+
+
+def _resident_bwd(res, g):
+    _, vjp = jax.vjp(_jnp_unroll_resident, *res)
+    return vjp(g.astype(_BF))
+
+
+fused_unroll_resident.defvjp(_resident_fwd, _resident_bwd)

@@ -148,6 +148,52 @@ def _apply_decoder(params: dict, key: jax.Array, x: jax.Array, training: bool) -
     return x @ params["fc"]["w"] + params["fc"]["b"]
 
 
+def _init_decoder_nodewise(key: jax.Array, hidden: int, mode: str, dtype) -> dict:
+    """P-scalable head (`--decoder_type nodewise`): a SHARED per-agent MLP
+    4h -> 2h -> h -> 4 applied to each node embedding, so the parameter count is
+    independent of P (the reference's flattened decoder is O(P) parameters by
+    construction, `gnn_dlasso_models_progressive.py:93-106` — the published design's
+    scalability ceiling). 'same' mode mean-pools node embeddings before the MLP.
+
+    fc uses the same conservative start as the flattened head (xavier gain 0.1 and
+    the reference's bias values `:118-123`) — here the bias applies to every agent's
+    (alpha, tau, rho, eta) rather than flat entries 0..3, which is the scalable
+    generalization of that intent."""
+    dims = [4 * hidden, 2 * hidden, hidden]
+    keys = jax.random.split(key, 3)
+    layers = []
+    for i in range(2):
+        fan_in, fan_out = dims[i], dims[i + 1]
+        limit = jnp.sqrt(1.0 / fan_in)
+        w = jax.random.uniform(keys[i], (fan_in, fan_out), dtype, -limit, limit)
+        b = jax.random.uniform(jax.random.fold_in(keys[i], 1), (fan_out,), dtype, -limit, limit)
+        layers.append({
+            "w": w, "b": b,
+            "ln_scale": jnp.ones((fan_out,), dtype),
+            "ln_bias": jnp.zeros((fan_out,), dtype),
+        })
+    fc_w = gcn.xavier_uniform(keys[2], hidden, 4, gain=0.1, dtype=dtype)
+    fc_b = jnp.asarray([-0.5, -1.0, -0.8, -1.2], dtype)
+    del mode  # pooling happens at apply time; params are mode-independent
+    return {"layers": layers, "fc": {"w": fc_w, "b": fc_b}}
+
+
+def _apply_decoder_nodewise(params: dict, key: jax.Array, h_nodes: jax.Array,
+                            mode: str, training: bool) -> jax.Array:
+    """h_nodes [B, P, 4h] -> raw hyp logits: [B, P, 4] ('diff') or [B, 1, 4] ('same').
+    The MLP weights are shared across agents — one batched matmul over B*P rows."""
+    if mode == "same":
+        h_nodes = jnp.mean(h_nodes, axis=1, keepdims=True)
+    x = h_nodes
+    keys = jax.random.split(key, 2)
+    for i, lyr in enumerate(params["layers"]):
+        x = x @ lyr["w"] + lyr["b"]
+        x = gcn.dropout(keys[i], x, _DROPOUT, training)
+        x = gcn.layer_norm(x, lyr["ln_scale"], lyr["ln_bias"])
+        x = gcn.leaky_relu(x)
+    return x @ params["fc"]["w"] + params["fc"]["b"]
+
+
 def _check_k_args(training_iterations, k_active):
     """The two K knobs are mutually exclusive: `training_iterations` truncates the
     scan statically (one program per K), `k_active` masks a max-K scan (one program
@@ -409,7 +455,12 @@ class DLASSOGNNHyp(object):
         enc, enc_state = _init_encoder(
             k_enc, 2 * self.n, self.hidden, self.A.dtype, self.cfg.encoder_type
         )
-        dec = _init_decoder(k_dec, self.P, self.hidden, self.out_dim, self.A.dtype)
+        if self.cfg.decoder_type == "nodewise":
+            dec = _init_decoder_nodewise(k_dec, self.hidden, self.mode, self.A.dtype)
+        elif self.cfg.decoder_type == "flattened":
+            dec = _init_decoder(k_dec, self.P, self.hidden, self.out_dim, self.A.dtype)
+        else:
+            raise ValueError(f"unknown decoder_type {self.cfg.decoder_type!r}")
         return {"encoder": enc, "decoder": dec}, enc_state
 
     def _hyper(self, params, state, key, AtAy, Atb, norm_adj, adj, training):
@@ -420,10 +471,18 @@ class DLASSOGNNHyp(object):
         h, new_state = _apply_encoder(
             params["encoder"], state, k_enc, feats, norm_adj, adj, training
         )
-        out = _apply_decoder(params["decoder"], k_dec, h, training)
-        hyp = jnp.clip(jax.nn.sigmoid(out), 1e-4, 0.9999)  # (reference `:169-172`)
         Pp = 1 if self.mode == "same" else self.P
-        hyp = hyp.reshape(B, 4, Pp)
+        if self.cfg.decoder_type == "nodewise":
+            h_nodes = h.reshape(B, self.P, -1)        # un-flatten the encoder output
+            out = _apply_decoder_nodewise(
+                params["decoder"], k_dec, h_nodes, self.mode, training
+            )                                          # [B, Pp, 4]
+            hyp = jnp.clip(jax.nn.sigmoid(out), 1e-4, 0.9999)
+            hyp = jnp.transpose(hyp, (0, 2, 1))        # [B, 4, Pp]
+        else:
+            out = _apply_decoder(params["decoder"], k_dec, h, training)
+            hyp = jnp.clip(jax.nn.sigmoid(out), 1e-4, 0.9999)  # (reference `:169-172`)
+            hyp = hyp.reshape(B, 4, Pp)
         scaled = hyp * self.maxes[None, :, None]
         alpha = scaled[:, 0, :, None]
         # tau/rho/eta get an extra (no-op at default maxes) cap (reference `:194-196`).

@@ -68,6 +68,43 @@ def make_lr_dataset(
     return x, labels
 
 
+def make_lr_dataset_maybe_mnist(
+    key: jax.Array, P: int, data_len: int, d: int = 784,
+    data_path: str = "", train: bool = True, dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """dlr inputs: REAL local MNIST when `data_path` points at a directory holding
+    the standard IDX files (or mnist.npz) — the reference's actual dlr data
+    (`utils.py:12-17`, download=False: it too expects the files already on disk) —
+    else the synthetic stand-in.
+
+    Real images get the same /255-again scaling the reference applies inside its
+    epoch loop (`utils.py:57,91`): ToTensor() already yields [0,1], so effective
+    inputs are <= 0.004 — the scale the default hyperparameters are stable at.
+    Consecutive images are dealt across the P agents, matching the reference's
+    [P, B, 784, 1] reshape of a B*P-image batch (`utils.py:56-59`).
+    """
+    if data_path:
+        from . import datastore
+
+        if datastore.mnist_available(data_path):
+            (x_tr, y_tr), (x_te, y_te) = datastore.load_mnist_dir(data_path)
+            x, lab = (x_tr, y_tr) if train else (x_te, y_te)
+            need = data_len * P
+            if need > x.shape[0]:
+                raise ValueError(
+                    f"MNIST split has {x.shape[0]} images; need {need} "
+                    f"(data_len={data_len} x P={P})")
+            x = jnp.asarray(x[:need].reshape(data_len, P, -1), dtype) / 255.0
+            labels = jnp.asarray(lab[:need].reshape(data_len, P, 1), dtype)
+            if x.shape[-1] != d:
+                raise ValueError(f"MNIST gives d={x.shape[-1]}, run requests d={d}")
+            return x, labels
+        raise FileNotFoundError(
+            f"--data_path {data_path!r}: no MNIST files found "
+            "(expected IDX files, MNIST/raw/, or mnist.npz)")
+    return make_lr_dataset(key, P, data_len, d, dtype)
+
+
 def split_80_20(b: jax.Array, y: jax.Array, seed: int):
     """Seeded 80/20 random split (`utils.py:25-42`)."""
     n = b.shape[0]

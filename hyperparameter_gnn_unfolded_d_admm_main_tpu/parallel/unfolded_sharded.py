@@ -116,6 +116,117 @@ def make_sharded_unroll(
     return jax.jit(shard_fn)
 
 
+def make_sharded_unroll_packed(
+    mesh: Mesh,
+    schedule: str = "ppermute",
+    clamp_fn: Callable = dadmm_core.unfolded_clamps,
+    nan_guard: bool = True,
+    remat: bool = True,
+    gram_mode: str = "factored",
+    solver_dtype=None,
+):
+    """Packed-topology sharded unroll: each device stores only its LOCAL agent rows'
+    neighbor lists — O(Pl * D) topology bytes per shard instead of the dense path's
+    O(Pl * P) replicated adjacency rows (`make_sharded_unroll` in_specs
+    `P(DATA, AGENT, None)`). The pod-scale form SURVEY section 7 calls for: at
+    P=1024 on ER graphs D ~ log P, so consensus work drops from O(P^2 n) to
+    O(P D n) and per-device topology memory by ~P/D.
+
+    Returns a jitted `(state, hyp_table, op, Atb, packed) -> Y` where `packed` is an
+    `ops.topology.ShardedPackedTopology` (global agent order; axis 1 sharded over the
+    agent axis). Schedules:
+      - 'ppermute': ring halo exchange, O(Pl n) peak visiting state — nothing scales
+        with global P (the true pod-scale schedule).
+      - 'allgather': gather the primal once, packed-gather locally — best when P*n
+        fits comfortably (mirrors the dense allgather default).
+    Reference topology analogue: neighbor lists at `DADMM_utils.py:40-56`.
+    """
+    from ..ops import topology as topo_lib
+
+    if gram_mode not in ("gram", "factored"):
+        raise ValueError("sharded unroll needs an explicit gram_mode: 'gram' or 'factored'")
+    if schedule not in ("ppermute", "allgather"):
+        raise ValueError(f"unknown consensus schedule {schedule!r}")
+    n_agent_shards = mesh.shape[AGENT_AXIS]
+
+    state_spec = dadmm_core.SolverState(
+        y=P(DATA_AXIS, AGENT_AXIS), U=P(DATA_AXIS, AGENT_AXIS), delta=P(DATA_AXIS, AGENT_AXIS)
+    )
+    packed_spec = topo_lib.ShardedPackedTopology(
+        nbr_shard=P(DATA_AXIS, AGENT_AXIS), nbr_local=P(DATA_AXIS, AGENT_AXIS),
+        mask=P(DATA_AXIS, AGENT_AXIS), deg=P(DATA_AXIS, AGENT_AXIS),
+    )
+
+    def local_unroll(state, hyp_table, op, Atb, packed):
+        Pl = packed.nbr_shard.shape[1]
+
+        if schedule == "ppermute":
+            def consensus(y_local):
+                return topo_lib.consensus_ring_packed(
+                    packed.nbr_shard, packed.nbr_local, packed.mask, packed.deg,
+                    y_local, num_shards=n_agent_shards, axis_name=AGENT_AXIS,
+                )
+        else:
+            nbr_global = packed.nbr_shard * Pl + packed.nbr_local   # [B, Pl, D]
+
+            def consensus(y_local):
+                y_all = lax.all_gather(y_local, AGENT_AXIS, axis=0)  # [s, B, Pl, n]
+                s, B, _, n = y_all.shape
+                y_full = jnp.moveaxis(y_all, 0, 1).reshape(B, s * Pl, n)
+                b_ix = jnp.arange(B)[:, None]
+                acc = jnp.zeros_like(y_local)
+                for d in range(nbr_global.shape[-1]):
+                    g = y_full[b_ix, nbr_global[:, :, d]]
+                    acc = acc + packed.mask[:, :, d][..., None] * g
+                return 2.0 * (packed.deg[..., None] * y_local - acc)
+
+        gram_fn = dadmm_core.make_gram_fn(
+            op if gram_mode == "gram" else None,
+            op if gram_mode == "factored" else None,
+            gram_mode,
+        )
+        state, Atb = dadmm_core.cast_solver_dtype(state, Atb, solver_dtype)
+
+        def body(carry, xs):
+            st, k = carry, xs[0]
+            hyp_k = xs[1]
+            alpha = hyp_k[None, :, 0:1]
+            tau = hyp_k[None, :, 1:2]
+            rho = hyp_k[None, :, 2:3]
+            eta = hyp_k[None, :, 3:4]
+            AtAy = gram_fn(st.y)
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, packed.deg, alpha, tau, rho, eta,
+                clamp_fn(k), None,
+                consensus_fn=lambda _adj, y: consensus(y),
+                nan_guard=nan_guard,
+                finite_fn=_collective_finite_fn,
+            )
+            return nxt, nxt.y
+
+        if remat:
+            body = jax.checkpoint(body)
+        K = hyp_table.shape[0]
+        ks = jnp.arange(K, dtype=jnp.float32)
+        _, Y = lax.scan(body, state, (ks, hyp_table))
+        return Y
+
+    shard_fn = jax.shard_map(
+        local_unroll,
+        mesh=mesh,
+        in_specs=(
+            state_spec,
+            P(None, AGENT_AXIS),        # hyp_table [K, P, 4]
+            P(AGENT_AXIS),              # op: AtA [P, n, n] or A [P, m, n]
+            P(DATA_AXIS, AGENT_AXIS),   # Atb
+            packed_spec,                # O(Pl * D) per shard
+        ),
+        out_specs=P(None, DATA_AXIS, AGENT_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
 def make_sharded_dlr_unroll(
     mesh: Mesh,
     schedule: str = "allgather",

@@ -175,8 +175,9 @@ def eval_classic_dlr(cfg: Config, hyp_table: jnp.ndarray, out_dir: str):
     key = jax.random.key(int(cfg.seed))
     k_data, _ = jax.random.split(key)
     d = 28 * 28
-    x_te, l_te = classic_data.make_lr_dataset(jax.random.key(int(cfg.seed) + 1), cfg.P,
-                                              cfg.test_size, d)
+    x_te, l_te = classic_data.make_lr_dataset_maybe_mnist(
+        jax.random.key(int(cfg.seed) + 1), cfg.P, cfg.test_size, d,
+        data_path=cfg.data_path, train=False)
     sched = load_or_create_graph(cfg)
     solver = classic.DADMMLRClassic(cfg.P, d)
     x = jnp.swapaxes(x_te[: cfg.batch_size], 0, 1)
@@ -197,7 +198,8 @@ def train_classic_dlr(cfg: Config, out_dir: str) -> Dict:
     k_data, _ = jax.random.split(key)
     d = 28 * 28
 
-    x_all, lab_all = classic_data.make_lr_dataset(k_data, cfg.P, cfg.train_size, d)
+    x_all, lab_all = classic_data.make_lr_dataset_maybe_mnist(
+        k_data, cfg.P, cfg.train_size, d, data_path=cfg.data_path, train=True)
     (x_tr, l_tr), (x_va, l_va) = classic_data.split_80_20(x_all, lab_all, int(cfg.seed))
     sched = load_or_create_graph(cfg)
     solver = classic.DADMMLRClassic(cfg.P, d)

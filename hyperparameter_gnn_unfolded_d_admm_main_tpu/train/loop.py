@@ -44,6 +44,31 @@ from ..utils.logging import CSVLogger, IOStream, StepTimer, TensorBoardWriter, s
 from . import losses, optim, schedule
 
 
+def _problem_data(cfg: Config, k_A, k_tr, k_va):
+    """Problem data source shared by the LASSO trainers: seeded on-device generation
+    by default; `--data_path pool.npz` loads a saved pool with the reference's
+    head/tail split semantics (`ops/datastore.py`, `LoadData.py:16-24`). The pool's
+    saved sensing matrix A (when present) OVERRIDES the seeded one — observations
+    are only consistent with the A that generated them."""
+    A = sensing.set_A(k_A, cfg.P, cfg.m, cfg.n)
+    if not cfg.data_path:
+        b_tr, y_tr = data_ops.make_dataset(k_tr, A, cfg.train_size, cfg.snr,
+                                           noise=cfg.data_noise)
+        b_va, y_va = data_ops.make_dataset(k_va, A, cfg.test_size, cfg.snr,
+                                           noise=cfg.data_noise)
+        return A, b_tr, y_tr, b_va, y_va
+    from ..ops import datastore
+
+    (b_tr, y_tr), (b_va, y_va), A_saved, _meta = datastore.load_simulated_split(
+        cfg.data_path, cfg.train_size, cfg.test_size,
+        expect_meta={"P": cfg.P, "m": cfg.m, "n": cfg.n},
+    )
+    if A_saved is not None:
+        A = jnp.asarray(A_saved)
+    return (A, jnp.asarray(b_tr), jnp.asarray(y_tr),
+            jnp.asarray(b_va), jnp.asarray(y_va))
+
+
 def _fixed_graph_batch(seed: int, batch: int, P: int, prob: float) -> jnp.ndarray:
     """ONE ER graph reused for every batch (reference `unfolded_train_new.py:56,67`).
     Not connectivity-repaired there; isolated nodes simply have degree 0."""
@@ -107,9 +132,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
     key = jax.random.key(int(cfg.seed))
     k_A, k_data_tr, k_data_va, key = jax.random.split(key, 4)
 
-    A = sensing.set_A(k_A, cfg.P, cfg.m, cfg.n)
-    b_tr, y_tr = data_ops.make_dataset(k_data_tr, A, cfg.train_size, cfg.snr, noise=cfg.data_noise)
-    b_va, y_va = data_ops.make_dataset(k_data_va, A, cfg.test_size, cfg.snr, noise=cfg.data_noise)
+    A, b_tr, y_tr, b_va, y_va = _problem_data(cfg, k_A, k_data_tr, k_data_va)
 
     model = UnfoldedDLASSO(A, cfg)
     params = model.init()
@@ -253,9 +276,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
     key = jax.random.key(int(cfg.seed))
     k_A, k_data_tr, k_data_va, k_model, key = jax.random.split(key, 5)
 
-    A = sensing.set_A(k_A, cfg.P, cfg.m, cfg.n)
-    b_tr, y_tr = data_ops.make_dataset(k_data_tr, A, cfg.train_size, cfg.snr, noise=cfg.data_noise)
-    b_va, y_va = data_ops.make_dataset(k_data_va, A, cfg.test_size, cfg.snr, noise=cfg.data_noise)
+    A, b_tr, y_tr, b_va, y_va = _problem_data(cfg, k_A, k_data_tr, k_data_va)
 
     # --hyp_mode GHyp1 selects the one-shot tier (table emitted by ONE GNN evaluation,
     # archive v1 design); GHyp1c adds the state-conditioned correction MLP; default

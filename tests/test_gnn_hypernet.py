@@ -307,3 +307,76 @@ def test_oneshot_corrected_tier():
     per_m, _, _ = corr.apply_losses(p_corr, {}, key, b, adj, y,
                                     training=True, k_active=jnp.int32(2))
     np.testing.assert_allclose(np.asarray(per_m[:2]), np.asarray(per_s), rtol=1e-6)
+
+
+def _setup_decoder(rng, P, decoder_type, mode="diff", B=3, K=3):
+    cfg = Config(P=P, m=6, n=12, GHyp_hidden=8, GHN_iter_num=K, DADMM_mode=mode,
+                 decoder_type=decoder_type)
+    A = sensing.set_A(jax.random.key(0), P, 6, 12)
+    model = DLASSOGNNHyp(A, cfg)
+    params, state = model.init(jax.random.key(1))
+    b, y = data_ops.make_dataset(jax.random.key(2), A, B)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, P, 0.6))
+    return cfg, model, params, state, b, y, adj
+
+
+@pytest.mark.parametrize("mode", ["diff", "same"])
+def test_nodewise_decoder_forward_shapes(rng, mode):
+    cfg, model, params, state, b, y, adj = _setup_decoder(rng, 4, "nodewise", mode)
+    out = model.apply(params, state, jax.random.key(3), b, adj, training=True)
+    assert out.Y.shape == (3, 3, 4, 12)
+    Pp = 1 if mode == "same" else 4
+    for h in out.hyp_last:
+        assert h.shape == (3, Pp, 1)
+        assert np.all(np.asarray(h) > 0)
+
+
+def test_nodewise_param_count_independent_of_P(rng):
+    def dec_size(P):
+        _, _, params, _, _, _, _ = _setup_decoder(rng, P, "nodewise")
+        return sum(x.size for x in jax.tree_util.tree_leaves(params["decoder"])
+                   if hasattr(x, "size"))
+
+    assert dec_size(4) == dec_size(8)
+
+    def dec_size_flat(P):
+        _, _, params, _, _, _, _ = _setup_decoder(rng, P, "flattened")
+        return sum(x.size for x in jax.tree_util.tree_leaves(params["decoder"])
+                   if hasattr(x, "size"))
+
+    assert dec_size_flat(8) > dec_size_flat(4)  # the reference head IS O(P)
+
+
+def test_nodewise_decoder_trains(rng):
+    import optax
+
+    cfg, model, params, state, b, y, adj = _setup_decoder(rng, 4, "nodewise")
+    tx = optax.adam(2e-3)
+    opt = tx.init(params)
+    key = jax.random.key(7)
+
+    @jax.jit
+    def step(params, state, opt, key):
+        def loss_fn(p):
+            per_kp, _, st = model.apply_losses(p, state, key, b, adj, y, training=True)
+            return jnp.mean(per_kp), st
+
+        (lf, st), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), st, opt, lf
+
+    first = None
+    for i in range(25):
+        key, k = jax.random.split(key)
+        params, state, opt, lf = step(params, state, opt, k)
+        if first is None:
+            first = float(lf)
+    assert float(lf) < first
+
+
+def test_unknown_decoder_type_rejected(rng):
+    cfg = Config(P=4, m=6, n=12, decoder_type="bogus")
+    A = sensing.set_A(jax.random.key(0), 4, 6, 12)
+    model = DLASSOGNNHyp(A, cfg)
+    with pytest.raises(ValueError):
+        model.init(jax.random.key(1))

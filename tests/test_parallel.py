@@ -214,3 +214,32 @@ def test_gspmd_masked_k_matches_static(rng):
     lm_m, lf_m, nm_m = masked_eval(params_r, state_r, key_r, (bs, ys, adjs), 3)
     np.testing.assert_allclose(float(nm_m), float(nm_s), rtol=1e-5)
     np.testing.assert_allclose(float(lf_m), float(lf_s), rtol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ppermute"])
+def test_sharded_unroll_packed_matches_dense(rng, schedule):
+    """Packed-topology sharded unroll (O(Pl*D) topology per shard) reproduces the
+    dense single-device trajectory, both schedules."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import topology
+
+    mesh = _mesh()
+    B, Pn, m, n, K = 4, 8, 6, 16, 4
+    A = sensing.set_A(jax.random.key(0), Pn, m, n)
+    AtA = sensing.gram(A)
+    adj_np = graphs.sample_connected_er(rng, B, Pn, 0.5)
+    adj = jnp.asarray(adj_np)
+    b = jnp.asarray(rng.standard_normal((B, Pn, m)).astype(np.float32))
+    Atb = sensing.At_apply(A, b)
+    state = dadmm_core.init_state(jax.random.key(1), B, Pn, n)
+    table = seq_hyperparam.hyp_table(
+        jnp.asarray(rng.standard_normal((K, Pn, 4)).astype(np.float32)),
+        jnp.asarray([0.1, 0.99, 0.99, 0.99]),
+    )
+    dense = dadmm_core.unroll_table(state, table, AtA, Atb, adj)
+
+    packed = topology.pack_adjacency_sharded(
+        adj_np, num_shards=mesh.shape[mesh_lib.AGENT_AXIS])
+    unroll = unfolded_sharded.make_sharded_unroll_packed(
+        mesh, schedule=schedule, gram_mode="gram")
+    got = unroll(state, table, AtA, Atb, packed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense), rtol=2e-5, atol=2e-5)
