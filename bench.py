@@ -26,6 +26,60 @@ P, B, M, N, K = 64, 256, 100, 512, 15
 GRAPH_PROB = 0.5
 REPEATS = 30
 
+# v5e per-chip peaks (public spec; the hardware-relative denominators VERDICT r1
+# asked for — "fast" is judged against the chip, not against interpreted Python).
+HBM_PEAK_GBS = 819.0
+MXU_PEAK_BF16_TFLOPS = 197.0
+MXU_PEAK_F32_TFLOPS = 49.0   # fp32 operands run the MXU at ~1/4 of bf16
+
+
+def variant_roofline(tag: str) -> dict:
+    """Analytic per-iteration HBM bytes + MXU FLOPs for a bench variant at the
+    headline shape. The model (validated against the measured phase ablation in
+    BASELINE.md): every iteration reads y/U/delta/Atb and writes y/U/delta + the
+    Y snapshot (8 state-tensor transfers), re-streams the matvec operand (XLA does
+    not keep it resident across scan steps), and reads the adjacency; FLOPs are the
+    matvec + consensus matmuls (elementwise is <2% and omitted)."""
+    sd = 2 if "bf16_state" in tag else 4               # solver-state dtype bytes
+    md = 2 if ("bf16" in tag) else 4                   # MXU operand dtype bytes
+    state = 8 * B * P * N * sd
+    if "factored" in tag or "train" in tag:            # train variants run factored
+        operand = 2 * P * M * N * md
+        mv_flops = 2 * 2 * B * P * M * N
+    else:
+        operand = P * N * N * md
+        mv_flops = 2 * B * P * N * N
+    adj_bytes = B * P * P * 4
+    cons_flops = 2 * B * P * P * N
+    bytes_it = state + operand + adj_bytes
+    flops_it = mv_flops + cons_flops
+    if tag.startswith("train"):
+        # remat'd value_and_grad: forward + recomputed forward + backward ~ 3x the
+        # forward FLOPs; state traffic ~3x (fwd write + recompute + grad read/write).
+        factor = 2.0 if "noremat" in tag else 3.0
+        bytes_it *= factor
+        flops_it *= factor
+    return {"bytes_per_iter": int(bytes_it), "flops_per_iter": int(flops_it),
+            "mxu_peak_tflops": MXU_PEAK_BF16_TFLOPS if md == 2 else MXU_PEAK_F32_TFLOPS}
+
+
+def attach_rooflines(variants: dict) -> dict:
+    """iter/s -> %-of-peak for every headline-shape variant (ref_shape_* is a
+    different shape; skipped)."""
+    out = {}
+    for tag, v in variants.items():
+        if v is None or tag.startswith("ref_shape"):
+            continue
+        ips = v[0]
+        r = variant_roofline(tag)
+        out[tag] = {
+            "bytes_per_iter": r["bytes_per_iter"],
+            "flops_per_iter": r["flops_per_iter"],
+            "pct_hbm_peak": round(100.0 * ips * r["bytes_per_iter"] / (HBM_PEAK_GBS * 1e9), 1),
+            "pct_mxu_peak": round(100.0 * ips * r["flops_per_iter"] / (r["mxu_peak_tflops"] * 1e12), 1),
+        }
+    return out
+
 
 def bench_tpu():
     import jax
@@ -128,6 +182,11 @@ def bench_tpu():
         ("train_fwd_bwd_factored", {"remat": True}),
         ("train_fwd_bwd_noremat", {"remat": False}),
         ("train_fwd_bwd_bf16mm", {"remat": True, "matmul_dtype": "bfloat16"}),
+        # bf16 solver state through BOTH passes: the gradient flows through the
+        # bf16-stored carry. Quality gate: tests/test_train.py
+        # ::test_bf16_state_training_quality_gate trains both dtypes and asserts
+        # the bf16 final val loss lands within 5% of f32.
+        ("train_fwd_bwd_bf16_state", {"remat": True, "solver_dtype": "bfloat16"}),
     ):
         if time.monotonic() > deadline:
             print(f"skipping {tag}: bench budget exhausted", file=sys.stderr, flush=True)

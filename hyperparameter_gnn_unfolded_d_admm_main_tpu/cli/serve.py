@@ -287,12 +287,27 @@ class _Solver:
         return np.concatenate(out), B
 
 
-def _make_handler(solver: _Solver, server_ref: dict):
+def _make_handler(solver: _Solver, server_ref: dict,
+                  max_request_bytes: int = 64 * 1024 * 1024):
     import numpy as np
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
-            for raw in self.rfile:
+            while True:
+                # Size-guarded line read: an unbounded `for raw in rfile` would
+                # buffer an arbitrarily large (malicious or buggy) line in memory
+                # before the JSON parse ever sees it. readline(limit) caps the
+                # buffer; a line that hits the cap without its newline cannot be
+                # resynced on a line protocol, so the connection is refused closed.
+                raw = self.rfile.readline(max_request_bytes)
+                if not raw:
+                    return
+                if len(raw) >= max_request_bytes and not raw.endswith(b"\n"):
+                    self.wfile.write(json.dumps({
+                        "error": f"request exceeds max_request_bytes="
+                                 f"{max_request_bytes}"}).encode() + b"\n")
+                    self.wfile.flush()
+                    return
                 raw = raw.strip()
                 if not raw:
                     continue
@@ -340,7 +355,7 @@ def main(argv=None):
     if not argv:
         print("usage: serve <run_dir> [--port 8763] [--host 127.0.0.1] "
               "[--max_batch 32] [--ckpt best] [--device tpu] [--dtype bfloat16] "
-              "[--gram_mode factored] [--compile_cache DIR]")
+              "[--gram_mode factored] [--compile_cache DIR] [--max_request_mb 64]")
         return
     run_dir = argv[0]
     opts = dict(zip(argv[1::2], argv[2::2]))
@@ -368,7 +383,9 @@ def main(argv=None):
     socketserver.ThreadingTCPServer.daemon_threads = True
     server = socketserver.ThreadingTCPServer(
         (opts.get("--host", "127.0.0.1"), int(opts.get("--port", 8763))),
-        _make_handler(solver, server_ref))
+        _make_handler(solver, server_ref,
+                      max_request_bytes=int(
+                          float(opts.get("--max_request_mb", "64")) * 1024 * 1024)))
     server_ref["server"] = server
     host, port = server.server_address
     # Machine-readable readiness line (stdout): clients/tests parse the bound port.

@@ -518,9 +518,12 @@ def _make_resident_kernel(K: int, P: int, mp: int, n: int, block_b: int, n_tiles
         y = jnp.clip(y - alpha * grad, -vclip, vclip)
         y_sc[:] = y.astype(_BF)
 
-        # ---- layout swap [P,Bt,n] -> [Bt,P,n]: static middle-index stores only.
-        for p in range(P):
-            yB_sc[:, p, :] = y_sc[p]
+        # ---- layout swap [P,Bt,n] <-> [Bt,P,n]: ONE major-dims transpose each way.
+        # (Mosaic lowers leading-dims transposes to vector shuffles; the earlier
+        # static per-agent sublane-copy loop made compile time explode super-linearly
+        # in P — 2.1s at P=16, >40min at P=64 — while a traced middle-dim index is
+        # the known silent-miscompile. The transpose is both correct and compiles.)
+        yB_sc[:] = jnp.transpose(y_sc[:], (1, 0, 2))
 
         # ---- consensus on the MXU: per-scenario adj_b [P,P] @ y_b [P,n].
         def cons(b, _):
@@ -530,8 +533,7 @@ def _make_resident_kernel(K: int, P: int, mp: int, n: int, block_b: int, n_tiles
 
         jax.lax.fori_loop(0, block_b, cons, 0)
 
-        for p in range(P):
-            nP_sc[p] = nB_sc[:, p, :]
+        nP_sc[:] = jnp.transpose(nB_sc[:], (1, 0, 2))
 
         delta = 2.0 * (deg * y - nP_sc[:])
         delta = jnp.clip(delta, -dclip, dclip)

@@ -242,12 +242,17 @@ def unroll_table(
     A: Optional[jax.Array] = None,
     gram_mode: str = "gram",
     solver_dtype=None,
+    topo=None,
 ) -> jax.Array:
     """Scan K iterations driven by a precomputed hyperparameter table.
 
     hyp_table: [K, Pp, 4] with Pp in {1, P}, columns (alpha, tau, rho, eta) — the output
     of `models.seq_hyperparam` for every k at once. Returns the stacked per-iteration
     primal iterates `Y [K, B, P, n]` (reference `unfolded_DLASSO.py:107-110`).
+
+    topo: an `ops.topology.PackedTopology` replaces the dense adjacency entirely
+    (pass adj=None): consensus becomes the packed gather form — O(P·D·n) instead of
+    O(P²·n) — the pod-scale (P=1024+) representation. Ignored by use_pallas.
 
     use_pallas routes the primal update through the fused TPU kernel
     (`kernels/fused_iteration.py`); the consensus + dual steps stay in XLA (and
@@ -260,8 +265,17 @@ def unroll_table(
     change does); use for throughput-critical inference where solution quality, not
     trajectory parity, is the bar — and gate on NMSE (see bench.py).
     """
-    deg = graph_ops.degrees(adj)
-    P = adj.shape[-1]
+    if topo is not None:
+        if use_pallas:
+            raise ValueError("use_pallas and packed topology are mutually exclusive "
+                             "(the fused kernel owns its own dense layout)")
+        from ..ops import topology as topo_lib
+
+        deg = topo.deg
+        consensus_fn = lambda _adj, y: topo_lib.consensus_delta(topo, y)  # noqa: E731
+    else:
+        deg = graph_ops.degrees(adj)
+        P = adj.shape[-1]
     if not use_pallas:
         state, Atb = cast_solver_dtype(state, Atb, solver_dtype)
 
@@ -337,9 +351,10 @@ def unroll_table_losses(
     A: Optional[jax.Array] = None,
     gram_mode: str = "gram",
     solver_dtype=None,
+    topo=None,
 ) -> jax.Array:
     """Like `unroll_table` but emits per-iteration per-agent MSEs `[K, P]` instead of
-    the stacked iterates `Y [K, B, P, n]`.
+    the stacked iterates `Y [K, B, P, n]`. `topo` as in `unroll_table`.
 
     Training only needs the per-layer scalar losses (`train/losses.compute_loss`
     averages them), so materializing Y wastes one full state-sized HBM write+read per
@@ -347,7 +362,13 @@ def unroll_table_losses(
     removes it. label [B, n]. Losses are always accumulated in float32 even under a
     narrow solver_dtype.
     """
-    deg = graph_ops.degrees(adj)
+    if topo is not None:
+        from ..ops import topology as topo_lib
+
+        deg = topo.deg
+        consensus_fn = lambda _adj, y: topo_lib.consensus_delta(topo, y)  # noqa: E731
+    else:
+        deg = graph_ops.degrees(adj)
     gram_fn = make_gram_fn(AtA, A, gram_mode, matmul_dtype)
     state, Atb = cast_solver_dtype(state, Atb, solver_dtype)
 

@@ -432,6 +432,27 @@ class DLASSOGNNHypOneShotCorrected(DLASSOGNNHypOneShot):
         return jnp.clip(hyp_k.astype(factor.dtype) * factor, 1e-4, 0.99)
 
 
+def _topology_ops(adj, topo, encoder_type: str = "gcn"):
+    """Shared topology prelude: returns (deg, norm_adj_or_agg, consensus_fn, adj).
+
+    Dense: precomputed normalized adjacency + dense Laplacian consensus. Packed
+    (`topo` an `ops.topology.PackedTopology`, adj=None): gather-based GCN aggregation
+    + packed consensus — O(P·D) topology memory, the pod-scale encoder+solver form
+    (requires the gcn encoder; mpnn/attention have no packed form)."""
+    if topo is None:
+        return (graph_ops.degrees(adj), graph_ops.gcn_norm_adj(adj),
+                graph_ops.consensus_delta, adj)
+    if encoder_type != "gcn":
+        raise ValueError(f"packed topology requires the gcn encoder; "
+                         f"encoder_type={encoder_type!r} has no packed form")
+    from ..ops import topology as topo_lib
+
+    sc, nc = topo_lib.gcn_norm_coeffs(topo)
+    agg = lambda x: topo_lib.gcn_aggregate(topo, x, sc, nc)          # noqa: E731
+    consensus = lambda _adj, y: topo_lib.consensus_delta(topo, y)    # noqa: E731
+    return topo.deg, agg, consensus, None
+
+
 class DLASSOGNNHyp(object):
     """Progressive GNN-hypernetwork D-ADMM model (flagship)."""
 
@@ -501,6 +522,7 @@ class DLASSOGNNHyp(object):
         training_iterations: Optional[int] = None,
         training: bool = True,
         k_active: Optional[jax.Array] = None,
+        topo=None,
     ) -> GNNHypOutput:
         """Full unrolled forward (reference `forward`, `:131-243`).
 
@@ -509,14 +531,14 @@ class DLASSOGNNHyp(object):
         `k_active` (a TRACED int) instead runs the max-K scan with iterations
         k >= k_active masked out (state frozen, zero gradient) — ONE compiled program
         serves every K of the schedule; Y[-1] equals the K=k_active final iterate
-        because the freeze carries it forward.
+        because the freeze carries it forward. `topo` (adj=None) runs BOTH the GCN
+        encoder and the solver consensus on packed neighbor lists (pod scale).
         """
         _check_k_args(training_iterations, k_active)
         K = self.K if training_iterations is None else int(training_iterations)
         B = b.shape[0]
         Atb = sensing.At_apply(self.A, b)
-        deg = graph_ops.degrees(adj)
-        norm_adj = graph_ops.gcn_norm_adj(adj)
+        deg, norm_adj, consensus_fn, adj = _topology_ops(adj, topo, self.cfg.encoder_type)
         k_init, k_scan = jax.random.split(key)
         st0 = dadmm_core.init_state(k_init, B, self.P, self.n, dtype=b.dtype)
         st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
@@ -531,7 +553,8 @@ class DLASSOGNNHyp(object):
             )
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,
-                dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
+                dadmm_core.gnn_clamps(k), adj, consensus_fn=consensus_fn,
+                nan_guard=nan_guard,
             )
             if k_active is not None:
                 nxt, new_bn = _freeze_inactive(k, k_active, (nxt, new_bn), (st, bn_state))
@@ -562,18 +585,19 @@ class DLASSOGNNHyp(object):
         training_iterations: Optional[int] = None,
         training: bool = True,
         k_active: Optional[jax.Array] = None,
+        topo=None,
     ):
         """Training fast path: per-iteration per-agent MSEs `[K, P]` reduced inside the
         scan (no stacked-Y materialization). Returns (per_kp, hyp_last, new_state).
 
         With `k_active` (traced int), scans max-K with iterations >= k_active frozen
-        (reduce the result with `losses.masked_losses_from_per_kp`)."""
+        (reduce the result with `losses.masked_losses_from_per_kp`). `topo` as in
+        `apply` (packed encoder + consensus, pod scale)."""
         _check_k_args(training_iterations, k_active)
         K = self.K if training_iterations is None else int(training_iterations)
         B = b.shape[0]
         Atb = sensing.At_apply(self.A, b)
-        deg = graph_ops.degrees(adj)
-        norm_adj = graph_ops.gcn_norm_adj(adj)
+        deg, norm_adj, consensus_fn, adj = _topology_ops(adj, topo, self.cfg.encoder_type)
         k_init, k_scan = jax.random.split(key)
         st0 = dadmm_core.init_state(k_init, B, self.P, self.n, dtype=b.dtype)
         st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
@@ -588,7 +612,8 @@ class DLASSOGNNHyp(object):
             )
             nxt = dadmm_core.dadmm_step(
                 st, AtAy, Atb, deg, alpha, tau, rho, eta,
-                dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
+                dadmm_core.gnn_clamps(k), adj, consensus_fn=consensus_fn,
+                nan_guard=nan_guard,
             )
             if k_active is not None:
                 nxt, new_bn = _freeze_inactive(k, k_active, (nxt, new_bn), (st, bn_state))

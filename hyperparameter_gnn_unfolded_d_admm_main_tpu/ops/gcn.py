@@ -25,9 +25,14 @@ def xavier_uniform(key: jax.Array, fan_in: int, fan_out: int, gain: float = 1.0,
     return jax.random.uniform(key, (fan_in, fan_out), dtype, -limit, limit)
 
 
-def gcn_layer(norm_adj: jax.Array, x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
-    """One GCNConv: norm_adj [B,P,P], x [B,P,Fin], w [Fin,Fout] -> [B,P,Fout]."""
-    return jnp.einsum("bpq,bqf->bpf", norm_adj, x) @ w + b
+def gcn_layer(norm_adj, x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """One GCNConv: norm_adj [B,P,P], x [B,P,Fin], w [Fin,Fout] -> [B,P,Fout].
+
+    norm_adj may instead be a callable `x -> Ahat @ x` (the packed-topology
+    aggregation from `ops/topology.gcn_aggregate` at pod scale, where a dense
+    [B,P,P] normalized adjacency would cost O(P^2) memory per sample)."""
+    agg = norm_adj(x) if callable(norm_adj) else jnp.einsum("bpq,bqf->bpf", norm_adj, x)
+    return agg @ w + b
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:

@@ -380,3 +380,40 @@ def test_unknown_decoder_type_rejected(rng):
     model = DLASSOGNNHyp(A, cfg)
     with pytest.raises(ValueError):
         model.init(jax.random.key(1))
+
+
+def test_flagship_packed_topology_matches_dense(rng):
+    """apply(topo=...) runs encoder GCN aggregation AND solver consensus on packed
+    neighbor lists; must reproduce the dense forward exactly (eval mode: no dropout
+    randomness differences matter — same key, same ops)."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import topology
+
+    cfg, model, params, state, b, y, adj = _setup(rng, P=6, B=3, K=3)
+    topo = topology.pack_adjacency(np.asarray(adj))
+    key = jax.random.key(5)
+    dense = model.apply(params, state, key, b, adj, training=False)
+    packed = model.apply(params, state, key, b, None, training=False, topo=topo)
+    np.testing.assert_allclose(np.asarray(packed.Y), np.asarray(dense.Y),
+                               rtol=2e-5, atol=2e-5)
+
+    # losses flavor (training path), still eval-mode math for determinism
+    per_d, _, _ = model.apply_losses(params, state, key, b, adj, y, training=False)
+    per_p, _, _ = model.apply_losses(params, state, key, b, None, y,
+                                     training=False, topo=topo)
+    np.testing.assert_allclose(np.asarray(per_p), np.asarray(per_d),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flagship_packed_rejects_non_gcn_encoder(rng):
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import topology
+
+    cfg = Config(P=4, m=6, n=12, GHyp_hidden=4, GHN_iter_num=2,
+                 encoder_type="attention")
+    A = sensing.set_A(jax.random.key(0), 4, 6, 12)
+    model = DLASSOGNNHyp(A, cfg)
+    params, state = model.init(jax.random.key(1))
+    b, _ = data_ops.make_dataset(jax.random.key(2), A, 2)
+    adj = graphs.sample_connected_er(rng, 2, 4, 0.6)
+    topo = topology.pack_adjacency(adj)
+    with pytest.raises(ValueError, match="packed"):
+        model.apply(params, state, jax.random.key(3), b, None, topo=topo)

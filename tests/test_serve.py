@@ -285,3 +285,34 @@ def test_serve_concurrent_clients():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_max_request_size_guard():
+    """A request line exceeding --max_request_mb gets an error reply and a closed
+    connection instead of an unbounded buffer; the server stays healthy."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "2",
+         "--max_request_mb", "0.25"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        cli = Client(ready["host"], ready["port"])
+        # ~1.4 MB request against a 0.25 MB cap
+        big = {"b": np.zeros((2, 5, 100)).tolist(), "pad": "x" * (1 << 20)}
+        resp = cli.call(big)
+        assert "error" in resp and "max_request_bytes" in resp["error"]
+        # the offending connection is closed...
+        assert cli.f.readline() == b""
+        # ...but the server keeps serving new clients
+        cli2 = Client(ready["host"], ready["port"])
+        assert cli2.call({"cmd": "ping"})["ok"]
+        assert cli2.call({"cmd": "shutdown"})["shutdown"]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)

@@ -100,3 +100,39 @@ def test_ring_packed_matches_dense(rng):
     got = fn(sp.nbr_shard, sp.nbr_local, sp.mask, sp.deg, y)
     want = graphs.consensus_delta(jnp.asarray(adj), y)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_unroll_table_packed_matches_dense(rng):
+    """Single-device unroll with packed topology (topo=) reproduces the dense
+    trajectory — the pod-scale consensus drop-in for the solver core."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import dadmm_core, seq_hyperparam
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import sensing
+
+    B, Pn, m, n, K = 4, 16, 6, 32, 4
+    A = sensing.set_A(jax.random.key(0), Pn, m, n)
+    AtA = sensing.gram(A)
+    adj_np = graphs.sample_connected_er(rng, B, Pn, 0.4)
+    adj = jnp.asarray(adj_np)
+    b = jnp.asarray(rng.standard_normal((B, Pn, m)).astype(np.float32))
+    Atb = sensing.At_apply(A, b)
+    st = dadmm_core.init_state(jax.random.key(1), B, Pn, n)
+    table = seq_hyperparam.hyp_table(
+        jnp.asarray(rng.standard_normal((K, Pn, 4)).astype(np.float32)),
+        jnp.asarray([0.1, 0.99, 0.99, 0.99]))
+    topo = topology.pack_adjacency(adj_np)
+
+    dense = dadmm_core.unroll_table(st, table, AtA, Atb, adj)
+    packed = dadmm_core.unroll_table(st, table, AtA, Atb, None, topo=topo)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+    # losses flavor too (the training path)
+    label = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    ld = dadmm_core.unroll_table_losses(st, table, AtA, Atb, adj, label)
+    lp = dadmm_core.unroll_table_losses(st, table, AtA, Atb, None, label, topo=topo)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ld), rtol=2e-5, atol=2e-5)
+
+    # packed + use_pallas is rejected loudly
+    import pytest
+    with pytest.raises(ValueError):
+        dadmm_core.unroll_table(st, table, AtA, Atb, None, topo=topo, use_pallas=True)

@@ -210,3 +210,29 @@ def test_train_gnn_progressive_masked_k(tmp_path):
     res = loop.train_gnn_progressive(cfg, str(tmp_path / "run"))
     assert np.isfinite(res["best_valid_loss"])
     assert ckpt.exists(str(tmp_path / "run" / "best"))
+
+
+def test_bf16_state_training_quality_gate(tmp_path):
+    """Training with a bf16 solver-state carry (the gradient flows through the
+    bf16-stored scan state) must land within 5% of the f32 final validation loss —
+    the quality gate behind bench.py's train_fwd_bwd_bf16_state variant."""
+    cfg32 = _tiny_cfg(num_epochs=6, train_size=16, test_size=8)
+    res32 = loop.train_unfolded(cfg32, str(tmp_path / "f32"))
+    cfg16 = _tiny_cfg(num_epochs=6, train_size=16, test_size=8, dtype="bfloat16")
+    res16 = loop.train_unfolded(cfg16, str(tmp_path / "bf16"))
+    assert np.isfinite(res16["best_valid_loss"])
+    assert res16["best_valid_loss"] <= res32["best_valid_loss"] * 1.05
+
+
+def test_train_on_geometric_topologies(tmp_path):
+    """--graph_type geometric trains both the scalar-table and GNN tiers on random
+    geometric graphs (the reference advertises the flag but never implements it,
+    configurations.py:64-65); fresh-graph mode exercises the sampler every step."""
+    cfg = _tiny_cfg(graph_mode="fresh", graph_type="geometric", graph_prob=0.6)
+    res = loop.train_unfolded(cfg, str(tmp_path / "unfolded"))
+    assert np.isfinite(res["best_valid_loss"])
+
+    cfg_g = _tiny_cfg(graph_type="geometric", graph_prob=0.6, hyp_mode="GHyp",
+                      num_epochs=2)
+    res_g = loop.train_gnn_progressive(cfg_g, str(tmp_path / "ghyp"))
+    assert np.isfinite(res_g["best_valid_loss"])
