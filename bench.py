@@ -42,7 +42,8 @@ def variant_roofline(tag: str) -> dict:
     matvec + consensus matmuls (elementwise is <2% and omitted)."""
     sd = 2 if "bf16_state" in tag else 4               # solver-state dtype bytes
     md = 2 if ("bf16" in tag) else 4                   # MXU operand dtype bytes
-    state = 8 * B * P * N * sd
+    units = 7 if "final" in tag else 8                 # final-only drops the Y write
+    state = units * B * P * N * sd
     if "factored" in tag or "train" in tag:            # train variants run factored
         operand = 2 * P * M * N * md
         mv_flops = 2 * 2 * B * P * M * N
@@ -153,6 +154,21 @@ def bench_tpu():
         ),
         "xla_fp32_noguard": timed("xla_fp32_noguard", nan_guard=False),
     }
+    # Serving fast path: final-iterate-only unroll (no per-iteration Y snapshot
+    # write) — what cli/serve.py actually runs; trajectory-identical to the
+    # stacked unroll (tests/test_core.py).
+    try:
+        fin = jax.jit(lambda st, tb: dadmm_core.unroll_table_final(
+            st, tb, None, Atb, adj, nan_guard=False, A=A,
+            gram_mode="factored", solver_dtype="bfloat16"))
+        print("compiling xla_bf16_state_factored_final...", file=sys.stderr, flush=True)
+        y_fin = fin(state, table)
+        jax.block_until_ready(y_fin)
+        variants["xla_bf16_state_factored_final"] = time_loop(
+            fin, (state, table), 2 * B * P * N, "xla_bf16_state_factored_final")
+    except Exception as e:  # noqa: BLE001
+        print(f"variant final failed: {e}", file=sys.stderr, flush=True)
+
     for tag, kw in (
         ("xla_fp32", {}),
         ("xla_fp32_factored", {"gram_mode": "factored"}),
@@ -329,6 +345,9 @@ def main():
         "vs_baseline": round(best_ips / base_ips, 2),
         "config": f"P={P} B={B} m={M} n={N} K={K} forward, best variant: {best_name}",
         "variants_iter_per_sec": {k: round(v[0], 2) for k, v in variants.items()},
+        "rooflines": attach_rooflines(variants),
+        "hw_peaks": {"hbm_gb_s": HBM_PEAK_GBS, "mxu_bf16_tflops": MXU_PEAK_BF16_TFLOPS,
+                     "mxu_f32_tflops": MXU_PEAK_F32_TFLOPS},
         "sec_per_unroll": round(best_step, 6),
         "baseline": "reference-style torch CPU (per-agent loops + edge-loop consensus)",
         "baseline_iter_per_sec": round(base_ips, 4),

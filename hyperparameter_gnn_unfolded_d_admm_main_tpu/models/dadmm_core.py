@@ -336,6 +336,60 @@ def unroll_table(
     return _scan_iterations(body, state, hyp_table, remat)
 
 
+def unroll_table_final(
+    state: SolverState,
+    hyp_table: jax.Array,
+    AtA: jax.Array,
+    Atb: jax.Array,
+    adj: jax.Array,
+    clamp_fn: Callable[[jax.Array], Clamps] = unfolded_clamps,
+    consensus_fn: ConsensusFn = graph_ops.consensus_delta,
+    nan_guard: bool = True,
+    matmul_dtype=None,
+    A: Optional[jax.Array] = None,
+    gram_mode: str = "gram",
+    solver_dtype=None,
+    topo=None,
+) -> jax.Array:
+    """Serving fast path: the K-iteration unroll emitting ONLY the final iterate
+    `y [B, P, n]` — no per-iteration Y materialization.
+
+    Measured (v5e, P=64 B=256 n=512 K=15, bf16 state + factored operand): 4,685
+    iter/s vs 3,721 for the stacked-Y unroll — the per-iteration [B,P,n] snapshot
+    write is ~20% of the iteration's HBM traffic, and serving (`cli/serve.py:solve`,
+    `cli/evaluate` NMSE) only ever consumes Y[-1]. Same trajectory as
+    `unroll_table(...)[-1]` (tested). No remat knob: there is no backward pass to
+    rematerialize for."""
+    if topo is not None:
+        from ..ops import topology as topo_lib
+
+        deg = topo.deg
+        consensus_fn = lambda _adj, y: topo_lib.consensus_delta(topo, y)  # noqa: E731
+    else:
+        deg = graph_ops.degrees(adj)
+    gram_fn = make_gram_fn(AtA, A, gram_mode, matmul_dtype)
+    state, Atb = cast_solver_dtype(state, Atb, solver_dtype)
+
+    def body(carry, xs):
+        st, k = carry, xs[0]
+        hyp_k = xs[1]
+        alpha = hyp_k[None, :, 0:1]
+        tau = hyp_k[None, :, 1:2]
+        rho = hyp_k[None, :, 2:3]
+        eta = hyp_k[None, :, 3:4]
+        AtAy = gram_fn(st.y)
+        nxt = dadmm_step(
+            st, AtAy, Atb, deg, alpha, tau, rho, eta,
+            clamp_fn(k), adj, consensus_fn, nan_guard,
+        )
+        return nxt, None
+
+    K = hyp_table.shape[0]
+    ks = jnp.arange(K, dtype=jnp.float32)
+    last, _ = jax.lax.scan(body, state, (ks, hyp_table))
+    return last.y
+
+
 def unroll_table_losses(
     state: SolverState,
     hyp_table: jax.Array,

@@ -82,6 +82,39 @@ class UnfoldedDLASSO:
         )
         return Y, table[K - 1]
 
+    def apply_final(
+        self,
+        params: dict,
+        key: jax.Array,
+        b: jax.Array,
+        adj: jax.Array,
+        K: Optional[int] = None,
+        training: bool = True,
+    ) -> jax.Array:
+        """Serving fast path: final iterate `y [B, P, n]` only — no stacked-Y
+        materialization (measured +26% over `apply(...)[0][-1]` at the P=64
+        headline shape; see `dadmm_core.unroll_table_final`). Same trajectory."""
+        K = self.K if K is None else min(K, self.K)
+        batch = b.shape[0]
+        Atb = sensing.At_apply(self.A, b)
+        state = dadmm_core.init_state(key, batch, self.P, self.n, dtype=b.dtype)
+        table = seq_hyperparam.hyp_table(
+            params["seq_hyp"],
+            self.max_param,
+            training=training,
+            max_penalty_threshold=self.cfg.max_penalty_threshold,
+            penalty_reduction_factor=self.cfg.penalty_reduction_factor,
+        )[:K]
+        return dadmm_core.unroll_table_final(
+            state, table, self.AtA, Atb, adj,
+            clamp_fn=dadmm_core.unfolded_clamps,
+            nan_guard=self.cfg.nan_guard,
+            matmul_dtype=self.cfg.matmul_dtype if self.cfg.matmul_dtype != "float32" else None,
+            A=self.A,
+            gram_mode=self.cfg.gram_mode,
+            solver_dtype=self.cfg.dtype if self.cfg.dtype != "float32" else None,
+        )
+
     def apply_losses(
         self,
         params: dict,

@@ -406,3 +406,55 @@ def test_dlr_oneshot_corrected_starts_at_oneshot_and_trains(tmp_path):
     assert res["best_valid_loss"] < first, (res["best_valid_loss"], first)
     out = evaluate.main([res["out_dir"], "--test_size", "8"])
     assert np.isfinite(out["loss_curve"]).all()
+
+
+def test_unroll_table_final_matches_stacked(rng):
+    """The serving fast path (final-iterate-only scan) is trajectory-identical to
+    the stacked unroll's last row, for fp32 and the bf16+factored serving config."""
+    import jax
+    import jax.numpy as jnp
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import sensing
+
+    B, Pn, m, n, K = 4, 8, 6, 16, 5
+    A = sensing.set_A(jax.random.key(0), Pn, m, n)
+    AtA = sensing.gram(A)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, Pn, 0.5))
+    b = jnp.asarray(rng.standard_normal((B, Pn, m)).astype(np.float32))
+    Atb = sensing.At_apply(A, b)
+    st = dadmm_core.init_state(jax.random.key(1), B, Pn, n)
+    table = seq_hyperparam.hyp_table(
+        jnp.asarray(rng.standard_normal((K, Pn, 4)).astype(np.float32)),
+        jnp.asarray([0.1, 0.99, 0.99, 0.99]))
+
+    Y = dadmm_core.unroll_table(st, table, AtA, Atb, adj)
+    y_fin = dadmm_core.unroll_table_final(st, table, AtA, Atb, adj)
+    np.testing.assert_array_equal(np.asarray(y_fin), np.asarray(Y[-1]))
+
+    Yb = dadmm_core.unroll_table(st, table, None, Atb, adj, nan_guard=False,
+                                 A=A, gram_mode="factored", solver_dtype="bfloat16")
+    yb = dadmm_core.unroll_table_final(st, table, None, Atb, adj, nan_guard=False,
+                                       A=A, gram_mode="factored",
+                                       solver_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(yb, np.float32),
+                                  np.asarray(Yb[-1], np.float32))
+
+
+def test_apply_final_matches_apply(rng):
+    """UnfoldedDLASSO.apply_final == apply()[0][-1] (the serve path contract)."""
+    import jax
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.unfolded import UnfoldedDLASSO
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import sensing
+
+    cfg = Config(P=4, m=6, n=10, GHN_iter_num=4)
+    A = sensing.set_A(jax.random.key(0), 4, 6, 10)
+    model = UnfoldedDLASSO(A, cfg)
+    params = model.init()
+    b = np.random.default_rng(0).standard_normal((3, 4, 6)).astype(np.float32)
+    adj = graphs.sample_connected_er(rng, 3, 4, 0.6)
+    import jax.numpy as jnp
+    key = jax.random.key(5)
+    Y, _ = model.apply(params, key, jnp.asarray(b), jnp.asarray(adj), training=False)
+    y_fin = model.apply_final(params, key, jnp.asarray(b), jnp.asarray(adj),
+                              training=False)
+    np.testing.assert_array_equal(np.asarray(y_fin), np.asarray(Y[-1]))
