@@ -188,6 +188,34 @@ def bench_tpu():
         except Exception as e:  # noqa: BLE001 - extras must never kill the bench
             print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
 
+    # bf16 VMEM-resident full-unroll kernel at the headline shape (round 2):
+    # exact on hardware (K=2 gate) but measured SLOWER than XLA — kept in the bench
+    # as the recorded refutation (DESIGN.md section 3 has the phase ablation).
+    if time.monotonic() < deadline:
+        try:
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.kernels import full_unroll
+
+            deg = jnp.sum(adj, axis=-1)
+            clipt = full_unroll.unfolded_clip_table(K)
+            res_fn = jax.jit(lambda st, tb: full_unroll.fused_unroll_resident(
+                A, st.y, st.U, st.delta, Atb, deg, adj, tb, clipt))
+            print("compiling pallas_resident_bf16...", file=sys.stderr, flush=True)
+            Yr = res_fn(state, table)
+            jax.block_until_ready(Yr)
+            g2 = jax.jit(lambda: full_unroll.fused_unroll_resident(
+                A, state.y, state.U, state.delta, Atb, deg, adj, table[:2], clipt[:2]))()
+            w2 = jax.jit(lambda: full_unroll._jnp_unroll_resident(
+                A, state.y, state.U, state.delta, Atb, deg, adj, table[:2], clipt[:2]))()
+            err = float(jnp.max(jnp.abs(g2.astype(jnp.float32) - w2.astype(jnp.float32)))
+                        / (jnp.max(jnp.abs(w2.astype(jnp.float32))) + 1e-9))
+            print(f"resident bf16 kernel K=2 parity rel err: {err:.2e}",
+                  file=sys.stderr, flush=True)
+            if err < 2e-2:
+                variants["pallas_resident_bf16"] = time_loop(
+                    res_fn, (state, table), Y_BYTES // 2, "pallas_resident_bf16")
+        except Exception as e:  # noqa: BLE001
+            print(f"variant pallas_resident_bf16 failed: {e}", file=sys.stderr, flush=True)
+
     # Training step (value+grad through the K-scan with in-scan loss reduction) at
     # the headline shape — the production training path, not just the forward unroll.
     # Three variants: the default remat'd fp32 path, no-remat (activations stored —
