@@ -171,6 +171,7 @@ def pack_adjacency_sharded(adj: np.ndarray, num_shards: int,
 def neighbor_sum_ring_packed(
     nbr_shard: jax.Array, nbr_local: jax.Array, mask: jax.Array,
     y_local: jax.Array, num_shards: int, axis_name: str,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Ring-rotation neighbor sum over packed LOCAL rows (inside shard_map).
 
@@ -180,6 +181,10 @@ def neighbor_sum_ring_packed(
     O(Pl n) for the visiting block + O(Pl D) for indices — nothing scales with
     global P. The ring is statically unrolled so XLA overlaps ppermute with the
     gather+FMA of the previous step.
+
+    `weights` [B, Pl, D] replaces the 0/1 mask contribution with an arbitrary
+    per-edge coefficient (still gated by mask>0) — the GCN-normalized aggregation
+    reuses this exact ring with `weights=nbr_coeff`.
     """
     from jax import lax
 
@@ -195,6 +200,8 @@ def neighbor_sum_ring_packed(
         for d in range(D):
             sel = (nbr_shard[:, :, d] == src_shard) & (mask[:, :, d] > 0)
             g = y_vis[b_ix, nbr_local[:, :, d]]        # [B, Pl, n]
+            if weights is not None:
+                g = weights[:, :, d][..., None] * g
             acc = acc + jnp.where(sel[..., None], g, 0.0)
         if t + 1 < s:
             y_vis = lax.ppermute(y_vis, axis_name, perm)

@@ -1,0 +1,75 @@
+"""Agent-sharded flagship forward (parallel/gnn_sharded.py): equivalence to the
+dense eval-mode `DLASSOGNNHyp.apply` on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import dadmm_core
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import DLASSOGNNHyp
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.parallel import gnn_sharded, mesh as mesh_lib
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def _setup(rng, mode="diff", gram_mode="gram", B=4, Pn=8, m=6, n=16, K=3):
+    cfg = Config(P=Pn, m=m, n=n, GHyp_hidden=4, GHN_iter_num=K, DADMM_mode=mode,
+                 decoder_type="nodewise", gram_mode=gram_mode)
+    A = sensing.set_A(jax.random.key(0), Pn, m, n)
+    model = DLASSOGNNHyp(A, cfg)
+    params, norm_state = model.init(jax.random.key(1))
+    b, _ = data_ops.make_dataset(jax.random.key(2), A, B)
+    adj_np = graphs.sample_connected_er(rng, B, Pn, 0.5)
+    return cfg, model, params, norm_state, b, adj_np
+
+
+@pytest.mark.parametrize("mode", ["diff", "same"])
+def test_sharded_gnn_forward_matches_dense(rng, mode):
+    cfg, model, params, norm_state, b, adj_np = _setup(rng, mode)
+    mesh = mesh_lib.make_mesh(data=2, agents=4)
+    key = jax.random.key(5)
+
+    dense = model.apply(params, norm_state, key, b, jnp.asarray(adj_np),
+                        training=False)
+
+    # reproduce apply()'s internal state init so both paths start identically
+    k_init, _ = jax.random.split(key)
+    st0 = dadmm_core.init_state(k_init, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
+    topo = gnn_sharded.ShardedGNNTopology(adj_np, num_shards=4)
+    fwd = gnn_sharded.make_sharded_gnn_forward(mesh, model)
+    Y = fwd(params, norm_state, st0, b, topo.tree())
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(dense.Y),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_gnn_forward_factored(rng):
+    cfg, model, params, norm_state, b, adj_np = _setup(rng, gram_mode="factored")
+    mesh = mesh_lib.make_mesh(data=2, agents=4)
+    key = jax.random.key(5)
+    dense = model.apply(params, norm_state, key, b, jnp.asarray(adj_np),
+                        training=False)
+    k_init, _ = jax.random.split(key)
+    st0 = dadmm_core.init_state(k_init, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
+    topo = gnn_sharded.ShardedGNNTopology(adj_np, num_shards=4)
+    fwd = gnn_sharded.make_sharded_gnn_forward(mesh, model)
+    Y = fwd(params, norm_state, st0, b, topo.tree())
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(dense.Y),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_gnn_rejects_unshardable_configs(rng):
+    mesh = mesh_lib.make_mesh(data=2, agents=4)
+    cfg = Config(P=8, m=6, n=16, GHyp_hidden=4, decoder_type="flattened")
+    A = sensing.set_A(jax.random.key(0), 8, 6, 16)
+    with pytest.raises(ValueError, match="nodewise"):
+        gnn_sharded.make_sharded_gnn_forward(mesh, DLASSOGNNHyp(A, cfg))
+    cfg2 = Config(P=8, m=6, n=16, GHyp_hidden=4, decoder_type="nodewise",
+                  encoder_type="attention")
+    with pytest.raises(ValueError, match="gcn"):
+        gnn_sharded.make_sharded_gnn_forward(mesh, DLASSOGNNHyp(A, cfg2))
