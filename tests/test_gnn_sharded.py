@@ -43,9 +43,32 @@ def test_sharded_gnn_forward_matches_dense(rng, mode):
     st0 = dadmm_core.init_state(k_init, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
     topo = gnn_sharded.ShardedGNNTopology(adj_np, num_shards=4)
     fwd = gnn_sharded.make_sharded_gnn_forward(mesh, model)
-    Y = fwd(params, norm_state, st0, b, topo.tree())
+    Y, new_state = fwd(params, norm_state, st0, key, b, topo.tree())
     np.testing.assert_allclose(np.asarray(Y), np.asarray(dense.Y),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["diff", "same"])
+def test_sharded_gnn_training_mode_matches_dense(rng, mode):
+    """training=True: collective batch-norm statistics + globally-drawn sliced
+    dropout masks reproduce the dense training-mode forward bit-comparably,
+    including the updated running stats."""
+    cfg, model, params, norm_state, b, adj_np = _setup(rng, mode)
+    mesh = mesh_lib.make_mesh(data=2, agents=4)
+    key = jax.random.key(9)
+    dense = model.apply(params, norm_state, key, b, jnp.asarray(adj_np),
+                        training=True)
+    k_init, _ = jax.random.split(key)
+    st0 = dadmm_core.init_state(k_init, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
+    topo = gnn_sharded.ShardedGNNTopology(adj_np, num_shards=4)
+    fwd = gnn_sharded.make_sharded_gnn_forward(mesh, model, training=True)
+    Y, new_state = fwd(params, norm_state, st0, key, b, topo.tree())
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(dense.Y),
+                               rtol=2e-4, atol=2e-4)
+    for got, want in zip(jax.tree_util.tree_leaves(new_state),
+                         jax.tree_util.tree_leaves(dense.state)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_sharded_gnn_forward_factored(rng):
@@ -58,7 +81,7 @@ def test_sharded_gnn_forward_factored(rng):
     st0 = dadmm_core.init_state(k_init, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
     topo = gnn_sharded.ShardedGNNTopology(adj_np, num_shards=4)
     fwd = gnn_sharded.make_sharded_gnn_forward(mesh, model)
-    Y = fwd(params, norm_state, st0, b, topo.tree())
+    Y, _ = fwd(params, norm_state, st0, key, b, topo.tree())
     np.testing.assert_allclose(np.asarray(Y), np.asarray(dense.Y),
                                rtol=2e-4, atol=2e-4)
 
@@ -73,3 +96,42 @@ def test_sharded_gnn_rejects_unshardable_configs(rng):
                   encoder_type="attention")
     with pytest.raises(ValueError, match="gcn"):
         gnn_sharded.make_sharded_gnn_forward(mesh, DLASSOGNNHyp(A, cfg2))
+
+
+def test_sharded_gnn_train_step_matches_dense(rng):
+    """The explicit-schedule sharded train step (grad through the shard-mapped
+    forward) reproduces the dense training step's loss and parameter update."""
+    import optax
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses as losses_lib
+
+    cfg, model, params, norm_state, b, adj_np = _setup(rng)
+    y_label = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (b.shape[0], cfg.n)).astype(np.float32))
+    mesh = mesh_lib.make_mesh(data=2, agents=4)
+    key = jax.random.key(11)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    # dense baseline step (same semantics as train loop's apply-based loss)
+    def dense_loss(p):
+        out = model.apply(p, norm_state, key, b, jnp.asarray(adj_np), training=True)
+        lm, lf = losses_lib.compute_loss(out.Y, y_label)
+        return lf, (lm, out.state)
+
+    (lf_d, (lm_d, _)), g_d = jax.value_and_grad(dense_loss, has_aux=True)(params)
+    upd_d, _ = tx.update(g_d, opt_state, params)
+    params_d = optax.apply_updates(params, upd_d)
+
+    k_init, _ = jax.random.split(key)
+    st0 = dadmm_core.init_state(k_init, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
+    topo = gnn_sharded.ShardedGNNTopology(adj_np, num_shards=4)
+    step = gnn_sharded.make_sharded_gnn_train_step(mesh, model, tx)
+    params_s, new_state, new_opt, lm_s, lf_s = step(
+        params, norm_state, opt_state, st0, key, b, y_label, topo.tree())
+
+    np.testing.assert_allclose(float(lf_s), float(lf_d), rtol=2e-5)
+    np.testing.assert_allclose(float(lm_s), float(lm_d), rtol=2e-5)
+    for got, want in zip(jax.tree_util.tree_leaves(params_s),
+                         jax.tree_util.tree_leaves(params_d)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-4, atol=5e-6)
