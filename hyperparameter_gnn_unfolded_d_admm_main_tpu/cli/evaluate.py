@@ -166,16 +166,42 @@ def main(argv=None):
             from ..parallel import mesh as mesh_lib
 
             if cfg.mesh_agents > 1:
-                raise SystemExit("GNN-family serving shards the data axis only — "
-                                 "use --mesh_data N --mesh_agents 1")
-            if test_size % cfg.mesh_data:
-                raise SystemExit(f"sharded serving needs test_size ({test_size}) "
-                                 f"divisible by mesh_data ({cfg.mesh_data})")
-            mesh = mesh_lib.make_mesh(cfg.mesh_data, 1)
-            dp = NamedSharding(mesh, PartitionSpec("data"))
-            b = jax.device_put(b, dp)
-            adj = jax.device_put(adj, dp)
-            apply = jax.jit(apply)
+                # Agent-axis GNN-family serving (round 2): possible for the
+                # flagship with the two agent-local choices — gcn encoder +
+                # nodewise head — via the explicit packed-ring schedule.
+                if (cfg.hyp_mode != "GHyp" or cfg.encoder_type != "gcn"
+                        or cfg.decoder_type != "nodewise"):
+                    raise SystemExit(
+                        "--mesh_agents > 1 for the GNN family needs the flagship "
+                        "tier with --encoder_type gcn --decoder_type nodewise "
+                        "(parallel/gnn_sharded.py); other tiers/heads consume "
+                        "global tensors — use --mesh_data N --mesh_agents 1")
+                if test_size % cfg.mesh_data or cfg.P % cfg.mesh_agents:
+                    raise SystemExit(
+                        f"sharded serving needs test_size ({test_size}) divisible "
+                        f"by mesh_data ({cfg.mesh_data}) and P ({cfg.P}) by "
+                        f"mesh_agents ({cfg.mesh_agents})")
+                from ..models import dadmm_core
+                from ..parallel import gnn_sharded
+
+                mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_agents)
+                topo = gnn_sharded.ShardedGNNTopology(
+                    np.asarray(adj), num_shards=cfg.mesh_agents)
+                fwd = gnn_sharded.make_sharded_gnn_forward(mesh, model)
+                k_init, _ = jax.random.split(k_state)
+                st0 = dadmm_core.init_state(k_init, test_size, cfg.P, cfg.n,
+                                            dtype=b.dtype)
+                apply = lambda p, s, k, b_, _adj: fwd(  # noqa: E731
+                    p, s, st0, k, b_, topo.tree())[0]
+            else:
+                if test_size % cfg.mesh_data:
+                    raise SystemExit(f"sharded serving needs test_size ({test_size}) "
+                                     f"divisible by mesh_data ({cfg.mesh_data})")
+                mesh = mesh_lib.make_mesh(cfg.mesh_data, 1)
+                dp = NamedSharding(mesh, PartitionSpec("data"))
+                b = jax.device_put(b, dp)
+                adj = jax.device_put(adj, dp)
+                apply = jax.jit(apply)
         Y = apply(tree["params"], tree["norm_state"], k_state, b, adj)
     elif cfg.mesh_data * cfg.mesh_agents > 1:
         # Multi-chip batch serving: shard_map the unroll over a (data, agents) mesh

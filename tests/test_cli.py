@@ -259,3 +259,35 @@ def test_evaluate_cli_dlr_run(tmp_path):
     out = evaluate.main([res["out_dir"], "--test_size", "8"])
     assert out["loss_curve"].shape == (4,)
     assert np.isfinite(out["loss_curve"]).all()
+
+
+def test_evaluate_cli_gnn_agent_sharded_serving(tmp_path):
+    """Round 2: flagship GNN serving over the AGENT axis (--mesh_agents>1) via the
+    packed-ring schedule — possible with the gcn encoder + nodewise head; the
+    sharded curve must reproduce the dense one, and unshardable configs are
+    rejected with a clear message."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import evaluate
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
+    import os
+    import pytest
+
+    cfg = Config(P=4, m=8, n=10, GHN_iter_num=3, min_iterations=3, GHyp_hidden=8,
+                 batch_size=4, train_size=16, test_size=8, num_epochs=2, lr=1e-2,
+                 seed=0, hyp_mode="GHyp", decoder_type="nodewise")
+    run_dir = str(tmp_path / "r_gnn_nw")
+    os.makedirs(run_dir)
+    loop.train_gnn_progressive(cfg, run_dir)
+    dense = evaluate.main([run_dir, "--test_size", "8"])
+    sharded = evaluate.main([run_dir, "--test_size", "8",
+                             "--mesh_data", "2", "--mesh_agents", "4"])
+    np.testing.assert_allclose(sharded["loss_curve"], dense["loss_curve"],
+                               rtol=2e-4, atol=2e-4)
+
+    # flattened-head run dirs reject agent sharding loudly
+    cfg_f = cfg.replace(decoder_type="flattened")
+    run_f = str(tmp_path / "r_gnn_flat")
+    os.makedirs(run_f)
+    loop.train_gnn_progressive(cfg_f, run_f)
+    with pytest.raises(SystemExit, match="nodewise"):
+        evaluate.main([run_f, "--test_size", "8",
+                       "--mesh_data", "2", "--mesh_agents", "4"])
