@@ -41,7 +41,9 @@ def variant_roofline(tag: str) -> dict:
     not keep it resident across scan steps), and reads the adjacency; FLOPs are the
     matvec + consensus matmuls (elementwise is <2% and omitted)."""
     sd = 2 if "bf16_state" in tag else 4               # solver-state dtype bytes
-    md = 2 if ("bf16" in tag) else 4                   # MXU operand dtype bytes
+    # operand/MXU dtype: bf16 only when the MATMUL dtype is bf16 (xla_bf16 /
+    # *_bf16mm variants); bf16_state keeps the operand f32 (state-only cast)
+    md = 2 if ("bf16mm" in tag or tag == "xla_bf16") else 4
     units = 7 if "final" in tag else 8                 # final-only drops the Y write
     state = units * B * P * N * sd
     if "factored" in tag or "train" in tag:            # train variants run factored

@@ -129,7 +129,7 @@ def main(argv=None):
         # fresh per-sample connected graphs; evaluate likewise.
         adj = jnp.asarray(
             graphs.fast_sample_connected_er(int(cfg.seed) + 7, test_size, cfg.P,
-                                            max(cfg.graph_prob, 0.3))
+                                            max(cfg.graph_prob, getattr(cfg, 'graph_prob_floor', 0.3)))
         )
     elif os.path.exists(os.path.join(run_dir, "graph.npy")):
         # Explicit topology saved with the run — written by `cli.import_torch

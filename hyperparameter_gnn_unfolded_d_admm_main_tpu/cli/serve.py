@@ -97,7 +97,7 @@ class _Solver:
             # GNN runs train on fresh per-sample graphs; default serving topology
             # likewise (deterministic seed — override per request via "adj").
             self.default_adj = np.asarray(graphs.fast_sample_connected_er(
-                int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, 0.3)))
+                int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, getattr(cfg, 'graph_prob_floor', 0.3))))
         else:
             model = UnfoldedDLASSO(A, cfg)
             params = model.init()
@@ -114,7 +114,7 @@ class _Solver:
             elif getattr(cfg, "graph_mode", "fixed") == "fresh":
                 # run trained on fresh per-sample topologies — serve likewise
                 self.default_adj = np.asarray(graphs.fast_sample_connected_er(
-                    int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, 0.3)))
+                    int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, getattr(cfg, 'graph_prob_floor', 0.3))))
             else:                   # the run's fixed training graph, from its seed
                 one = graphs.sample_er_adjacency(
                     np.random.default_rng(int(cfg.seed)), cfg.P, cfg.graph_prob)

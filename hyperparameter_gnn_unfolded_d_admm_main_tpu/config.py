@@ -139,6 +139,12 @@ class Config:
                                        # (0 = off, reference-faithful); stabilizes the
                                        # attention encoder's seed sensitivity
                                        # (train/schedule.py:warmup_factor)
+    graph_prob_floor: float = 0.3      # fresh-graph samplers clamp edge prob to
+                                       # >= this (reference gnn_dlasso_progressive
+                                       # .py:183 hard-codes 0.3 — sane at P=5,
+                                       # pathological at P=1024 where it yields
+                                       # degree ~300 and saturates the gradient
+                                       # clamps; set ~12/P at pod scale)
     data_path: str = ""                # load the train/test pool from a saved npz
                                        # (ops/datastore.py; make one with
                                        # `python -m ...cli.data_tool make`) using the

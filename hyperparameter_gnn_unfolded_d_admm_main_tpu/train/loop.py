@@ -78,10 +78,13 @@ def _fixed_graph_batch(seed: int, batch: int, P: int, prob: float) -> jnp.ndarra
 
 
 def _fresh_graph_batch(seed: int, batch: int, P: int, prob: float,
-                       graph_type: str = "erods_renyi") -> jnp.ndarray:
-    """Fresh connected per-sample graphs, p >= 0.3 (reference
-    `gnn_dlasso_progressive.py:181-191`)."""
-    return jnp.asarray(graphs.sample_graph_batch(seed, batch, P, graph_type, max(prob, 0.3)))
+                       graph_type: str = "erods_renyi",
+                       prob_floor: float = 0.3) -> jnp.ndarray:
+    """Fresh connected per-sample graphs, p >= prob_floor (reference hard-codes
+    the floor at 0.3, `gnn_dlasso_progressive.py:181-191`; --graph_prob_floor
+    relaxes it for pod-scale P where 0.3 means degree ~0.3*P)."""
+    return jnp.asarray(
+        graphs.sample_graph_batch(seed, batch, P, graph_type, max(prob, prob_floor)))
 
 def _make_graph_source(cfg: Config, batch: int):
     """Per-step fresh-topology source for the progressive trainer: `(get, close)`.
@@ -97,11 +100,12 @@ def _make_graph_source(cfg: Config, batch: int):
 
         if native_pipeline.available():
             pf = native_pipeline.SequentialGraphPrefetcher(
-                batch, cfg.P, max(cfg.graph_prob, 0.3), depth=4
+                batch, cfg.P, max(cfg.graph_prob, cfg.graph_prob_floor), depth=4
             )
             return (lambda seed: jnp.asarray(pf.get(seed))), pf.close
     return (
-        lambda seed: _fresh_graph_batch(seed, batch, cfg.P, cfg.graph_prob, cfg.graph_type),
+        lambda seed: _fresh_graph_batch(seed, batch, cfg.P, cfg.graph_prob,
+                                        cfg.graph_type, cfg.graph_prob_floor),
         lambda: None,
     )
 
