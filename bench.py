@@ -376,6 +376,12 @@ def main():
         "config": f"P={P} B={B} m={M} n={N} K={K} forward, best variant: {best_name}",
         "variants_iter_per_sec": {k: round(v[0], 2) for k, v in variants.items()},
         "rooflines": attach_rooflines(variants),
+        "roofline_note": "bytes_per_iter is the analytic NO-FUSION upper bound "
+                         "(8 state-tensor transfers + operand + adj); pct_hbm_peak "
+                         ">100 means XLA elided a modeled transfer (e.g. aliasing "
+                         "the carry write with the stacked-Y row), i.e. the "
+                         "program beat the naive traffic model — not a timing "
+                         "artifact (those are guarded separately)",
         "hw_peaks": {"hbm_gb_s": HBM_PEAK_GBS, "mxu_bf16_tflops": MXU_PEAK_BF16_TFLOPS,
                      "mxu_f32_tflops": MXU_PEAK_F32_TFLOPS},
         "sec_per_unroll": round(best_step, 6),
