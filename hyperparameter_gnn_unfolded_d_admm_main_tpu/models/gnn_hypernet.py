@@ -261,13 +261,21 @@ class DLASSOGNNHypOneShot(object):
         dense = lambda k, i, o: {
             "w": gcn.xavier_uniform(k, i, o, dtype=dt), "b": jnp.zeros((o,), dt)
         }
+        # Head parameter count: the faithful pooled head emits the whole K*Pp*4
+        # table (O(K*P) params in 'diff' mode — the v1 design's scalability
+        # ceiling, like the flagship's flattened decoder); `--decoder_type
+        # nodewise` instead applies a SHARED per-node head emitting each agent's
+        # K*4 rows from its own embedding — P-independent parameters. Both heads
+        # keep the zero-init final layer (see the stability note below).
+        nodewise = self.cfg.decoder_type == "nodewise" and self.mode != "same"
+        head_out = self.K * 4 if nodewise else self.K * self.Pp * 4
         params = {
             # per-agent observation encoder (reference v1 flattens b into an MLP,
             # `old code/gnn_dlasso_models.py:36-38`)
             "enc": [dense(ks[0], self.m, h), dense(ks[1], h, h)],
             # 2 graph-conv layers (v1 `:39-40`), batched norm-adjacency matmuls
             "convs": [dense(ks[2], h, 2 * h), dense(ks[3], 2 * h, 2 * h)],
-            # pooled head -> full table; zero-init final layer => the table starts at
+            # head -> full table; zero-init final layer => the table starts at
             # EXACTLY sigmoid(0)*max for every sample, the same starting point as the
             # zero-init scalar table (models/seq_hyperparam.py). A nonzero (even
             # gain-0.1 Xavier) init here proved unstable in K=25 training: gradients
@@ -277,8 +285,8 @@ class DLASSOGNNHypOneShot(object):
             "head": [
                 dense(ks[4], 2 * h, 4 * h),
                 {
-                    "w": jnp.zeros((4 * h, self.K * self.Pp * 4), dt),
-                    "b": jnp.zeros((self.K * self.Pp * 4,), dt),
+                    "w": jnp.zeros((4 * h, head_out), dt),
+                    "b": jnp.zeros((head_out,), dt),
                 },
             ],
         }
@@ -301,10 +309,18 @@ class DLASSOGNNHypOneShot(object):
         norm_adj = graph_ops.gcn_norm_adj(adj)
         for lyr in params["convs"]:
             x = gcn.leaky_relu(gcn.gcn_layer(norm_adj, x, lyr["w"], lyr["b"]))
-        pooled = jnp.mean(x, axis=1)                              # global mean pool (v1 `:41`)
-        h = gcn.leaky_relu(pooled @ params["head"][0]["w"] + params["head"][0]["b"])
-        raw = h @ params["head"][1]["w"] + params["head"][1]["b"]
-        raw = self.RAW_SCALE * raw.reshape(B, self.K, self.Pp, 4)[:, :K]
+        if self.cfg.decoder_type == "nodewise" and self.mode != "same":
+            # P-scalable head: each agent's K*4 table rows from ITS embedding via
+            # the shared MLP (no pooling, no O(K*P) output layer)
+            h = gcn.leaky_relu(x @ params["head"][0]["w"] + params["head"][0]["b"])
+            raw = h @ params["head"][1]["w"] + params["head"][1]["b"]  # [B,P,K*4]
+            raw = jnp.moveaxis(raw.reshape(B, self.P, self.K, 4), 1, 2)
+            raw = self.RAW_SCALE * raw[:, :K]
+        else:
+            pooled = jnp.mean(x, axis=1)                          # global mean pool (v1 `:41`)
+            h = gcn.leaky_relu(pooled @ params["head"][0]["w"] + params["head"][0]["b"])
+            raw = h @ params["head"][1]["w"] + params["head"][1]["b"]
+            raw = self.RAW_SCALE * raw.reshape(B, self.K, self.Pp, 4)[:, :K]
         # cumsum over K (v1 `:43`) + sigmoid/cap as in seq_hyperparam.hyp_table
         table = jax.nn.sigmoid(jnp.cumsum(raw, axis=1)) * self.maxes
         if training:

@@ -417,3 +417,61 @@ def test_flagship_packed_rejects_non_gcn_encoder(rng):
     topo = topology.pack_adjacency(adj)
     with pytest.raises(ValueError, match="packed"):
         model.apply(params, state, jax.random.key(3), b, None, topo=topo)
+
+
+def test_oneshot_nodewise_head(rng):
+    """GHyp1/GHyp1c with --decoder_type nodewise: per-node table head with
+    P-independent parameters; table stays bounded, prefix property holds, and
+    the model trains."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import (
+        DLASSOGNNHypOneShot, DLASSOGNNHypOneShotCorrected)
+    import optax
+
+    def build(P, cls=DLASSOGNNHypOneShot):
+        cfg = Config(P=P, m=6, n=12, GHyp_hidden=8, GHN_iter_num=4,
+                     decoder_type="nodewise")
+        A = sensing.set_A(jax.random.key(0), P, 6, 12)
+        model = cls(A, cfg)
+        params, _ = model.init(jax.random.key(1))
+        return cfg, model, params
+
+    def head_size(P):
+        _, _, params = build(P)
+        return sum(x.size for x in jax.tree_util.tree_leaves(params["head"]))
+
+    assert head_size(4) == head_size(8), "nodewise one-shot head must be P-independent"
+
+    cfg, model, params = build(4)
+    b, y = data_ops.make_dataset(jax.random.key(2), sensing.set_A(
+        jax.random.key(0), 4, 6, 12), 3)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, 3, 4, 0.6))
+    table = model.table(params, b, adj)
+    assert table.shape == (3, 4, 4, 4)          # [B, K, P, 4] — per-agent rows
+    assert float(table.min()) >= 1e-4 and float(table.max()) <= 0.99
+    # prefix property survives the nodewise head (cumsum along K unchanged)
+    t2 = model.table(params, b, adj, K=2)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(table[:, :2]),
+                               rtol=1e-6, atol=1e-6)
+
+    # trains (loss decreases) — corrected tier exercises _step_hyp on top
+    cfg_c, model_c, params_c = build(4, DLASSOGNNHypOneShotCorrected)
+    tx = optax.adam(2e-3)
+    opt = tx.init(params_c)
+    key = jax.random.key(7)
+
+    @jax.jit
+    def step(p, opt, key):
+        def loss_fn(p):
+            per_kp, _, _ = model_c.apply_losses(p, {}, key, b, adj, y, training=True)
+            return jnp.mean(per_kp)
+
+        lf, g = jax.value_and_grad(loss_fn)(p)
+        upd, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, upd), opt, lf
+
+    first = None
+    for i in range(20):
+        key, k = jax.random.split(key)
+        params_c, opt, lf = step(params_c, opt, k)
+        first = float(lf) if first is None else first
+    assert float(lf) < first
