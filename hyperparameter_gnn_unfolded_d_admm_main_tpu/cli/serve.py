@@ -82,17 +82,20 @@ class _Solver:
         # (e.g. the flagship progressive run trained early in this repo's history).
         self.is_gnn = (cfg.hyp_mode in ("GHyp", "GHyp1", "GHyp1c") or os.path.basename(
             os.path.normpath(run_dir)).endswith("progressive"))
-        ckpt_dir = os.path.join(run_dir, ckpt_name)
+        self._run_dir = run_dir
         if self.is_gnn:
             model_cls = {"GHyp1": DLASSOGNNHypOneShot,
                          "GHyp1c": DLASSOGNNHypOneShotCorrected}.get(cfg.hyp_mode, DLASSOGNNHyp)
             model = model_cls(A, cfg)
             params, norm_state = model.init(jax.random.key(0))
-            tree, _ = ckpt.restore_partial(
-                ckpt_dir, {"params": params, "norm_state": norm_state})
-            # serving consumes only the final iterate; slicing inside the jit lets
-            # XLA dead-code-eliminate the stacked-Y materialization
-            self._fn = jax.jit(lambda k, b, adj: model.apply(
+            self._tree_template = {"params": params, "norm_state": norm_state}
+            self._tree = self._restore(ckpt_name)
+            # The checkpoint tree is a jit ARGUMENT, not a closure constant, so
+            # `{"cmd": "reload"}` can hot-swap weights without recompiling (same
+            # shapes/dtypes => same compiled executable). Serving consumes only the
+            # final iterate; slicing inside the jit lets XLA dead-code-eliminate
+            # the stacked-Y materialization.
+            self._fn = jax.jit(lambda tree, k, b, adj: model.apply(
                 tree["params"], tree["norm_state"], k, b, adj, training=False).Y[-1])
             # GNN runs train on fresh per-sample graphs; default serving topology
             # likewise (deterministic seed — override per request via "adj").
@@ -101,10 +104,12 @@ class _Solver:
         else:
             model = UnfoldedDLASSO(A, cfg)
             params = model.init()
-            tree, _ = ckpt.restore_partial(ckpt_dir, {"params": params})
+            self._tree_template = {"params": params}
+            self._tree = self._restore(ckpt_name)
             # final-iterate-only unroll: no per-iteration Y snapshot write
-            # (measured +26% serving throughput at the P=64 headline shape)
-            self._fn = jax.jit(lambda k, b, adj: model.apply_final(
+            # (measured +26% serving throughput at the P=64 headline shape);
+            # tree as jit argument => hot reload without recompile
+            self._fn = jax.jit(lambda tree, k, b, adj: model.apply_final(
                 tree["params"], k, b, adj, training=False))
             gp = os.path.join(run_dir, "graph.npy")
             if os.path.exists(gp):  # imported/recovered topology (cli.import_torch)
@@ -127,6 +132,25 @@ class _Solver:
         self._lock = threading.Lock()  # jit dispatch is thread-safe but keep FIFO
         self.warmup()
 
+    def _restore(self, ckpt_name: str):
+        """Restore the checkpoint tree (structure fixed by _tree_template)."""
+        from ..utils import checkpoint as ckpt
+
+        tree, _ = ckpt.restore_partial(
+            os.path.join(self._run_dir, ckpt_name), self._tree_template)
+        return tree
+
+    def reload(self, ckpt_name: str) -> dict:
+        """Hot-swap weights from disk without restarting or recompiling (the tree
+        is a jit argument with unchanged shapes/dtypes). Serialized behind the
+        solver lock so in-flight solves finish on the old weights."""
+        t0 = time.perf_counter()
+        new_tree = self._restore(ckpt_name)        # read/validate BEFORE locking
+        with self._lock:
+            self._tree = new_tree
+        return {"ok": True, "reloaded": ckpt_name,
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 3)}
+
     def _init_dlr(self, run_dir: str, ckpt_name: str):
         """dlr family: the "solve" is a distributed regression fit — request carries
         per-agent features x and targets y, the response the fitted (a, w) weights."""
@@ -143,7 +167,7 @@ class _Solver:
 
         cfg = self.cfg
         self.P, self.m, self.n = cfg.P, cfg.n, cfg.n  # m := feature dim d for dlr
-        ckpt_dir = os.path.join(run_dir, ckpt_name)
+        self._run_dir = run_dir
         one = graphs.sample_er_adjacency(
             np.random.default_rng(int(cfg.seed)), cfg.P, cfg.graph_prob)
         self.default_adj = np.broadcast_to(
@@ -152,10 +176,10 @@ class _Solver:
         if cfg.hyp_mode == "GHyp":
             model = DLRGNNHyp(cfg.P, cfg.n, cfg)
             params, norm_state = model.init(jax.random.key(0))
-            tree, _ = ckpt.restore_partial(
-                ckpt_dir, {"params": params, "norm_state": norm_state})
+            self._tree_template = {"params": params, "norm_state": norm_state}
+            self._tree = self._restore(ckpt_name)
 
-            def fn(key, x, y, adj):
+            def fn(tree, key, x, y, adj):
                 _, _, st = model.apply_losses(
                     tree["params"], tree["norm_state"], key, x, y, adj,
                     training=False, return_state=True)
@@ -166,12 +190,13 @@ class _Solver:
                                                                   UnfoldedDLR)
             model = model_cls(cfg.P, cfg.n, cfg)
             params = model.init()
-            tree, _ = ckpt.restore_partial(ckpt_dir, {"params": params})
+            self._tree_template = {"params": params}
+            self._tree = self._restore(ckpt_name)
 
             # training=True matches cli.evaluate and the training loop's eval_step
             # (the table tiers' anti-saturation rescale is part of the validated
             # model), so served fits reproduce the reported metrics exactly.
-            def fn(key, x, y, adj):
+            def fn(tree, key, x, y, adj):
                 step_fn = None
                 if cfg.hyp_mode in ("GHyp1", "GHyp1c"):
                     table = model.table(tree["params"], x, y, adj, training=True)
@@ -197,13 +222,14 @@ class _Solver:
         if self.case == "dlr":
             x = jnp.zeros((self.max_batch, self.P, self.m), jnp.float32)
             y = jnp.zeros((self.max_batch, self.P, 1), jnp.float32)
-            out = self._fn(self._key, x, y,
+            out = self._fn(self._tree, self._key, x, y,
                            jnp.asarray(self.default_adj, jnp.float32))
             self._jax.block_until_ready(out)
             self.K = int(self.cfg.GHN_iter_num)
             return
         b = jnp.zeros((self.max_batch, self.P, self.m), jnp.float32)
-        y_fin = self._fn(self._key, b, jnp.asarray(self.default_adj, jnp.float32))
+        y_fin = self._fn(self._tree, self._key, b,
+                         jnp.asarray(self.default_adj, jnp.float32))
         self._jax.block_until_ready(y_fin)
         self.K = int(self.cfg.GHN_iter_num)  # _fn now returns the final iterate only
 
@@ -266,7 +292,8 @@ class _Solver:
         a_out, w_out = [], []
         with self._lock:
             for (xc, yc), adj, n_real in self._iter_chunks(B, (x_np, y_np), adj_np):
-                a, w = self._fn(self._key, jnp.asarray(xc, jnp.float32),
+                a, w = self._fn(self._tree, self._key,
+                                jnp.asarray(xc, jnp.float32),
                                 jnp.asarray(yc, jnp.float32),
                                 jnp.asarray(adj, jnp.float32))
                 a_out.append(np.asarray(a)[:n_real])
@@ -284,7 +311,8 @@ class _Solver:
         out = []
         with self._lock:
             for (chunk,), adj, n_real in self._iter_chunks(B, (b_np,), adj_np):
-                y_fin = self._fn(self._key, jnp.asarray(chunk, jnp.float32),
+                y_fin = self._fn(self._tree, self._key,
+                                 jnp.asarray(chunk, jnp.float32),
                                  jnp.asarray(adj, jnp.float32))
                 y_hat = np.asarray(jnp.mean(y_fin, axis=1))  # consensus over agents
                 out.append(y_hat[:n_real])
@@ -322,6 +350,8 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         resp = {"ok": True, "P": solver.P, "m": solver.m,
                                 "n": solver.n, "K": solver.K,
                                 "max_batch": solver.max_batch}
+                    elif req.get("cmd") == "reload":
+                        resp = solver.reload(req.get("ckpt", "best"))
                     elif req.get("cmd") == "shutdown":
                         self.wfile.write(b'{"ok": true, "shutdown": true}\n')
                         self.wfile.flush()

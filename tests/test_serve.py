@@ -316,3 +316,44 @@ def test_serve_max_request_size_guard():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_hot_reload():
+    """{"cmd": "reload"} hot-swaps checkpoint weights without restart or
+    recompile; solves before and after agree (same checkpoint re-read), and a
+    bogus checkpoint name errors without killing the server."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        cli = Client(ready["host"], ready["port"])
+        A = np.load(os.path.join(RUN, "A.npy"))
+        rng = np.random.default_rng(0)
+        y = 2.0 * rng.standard_normal(500) * (rng.random(500) <= 0.25)
+        b = np.einsum("pmn,n->pm", A, y)
+        before = np.asarray(cli.call({"b": b.tolist()})["y_hat"])
+
+        r = cli.call({"cmd": "reload"})
+        assert r["ok"] and r["reloaded"] == "best"
+        after = np.asarray(cli.call({"b": b.tolist()})["y_hat"])
+        np.testing.assert_allclose(after, before, atol=1e-6)
+
+        # the run dir also has a `last` checkpoint — reload to it and back
+        if os.path.exists(os.path.join(RUN, "last", "state.msgpack")):
+            assert cli.call({"cmd": "reload", "ckpt": "last"})["reloaded"] == "last"
+            assert np.isfinite(np.asarray(cli.call({"b": b.tolist()})["y_hat"])).all()
+
+        bad = cli.call({"cmd": "reload", "ckpt": "nope"})
+        assert "error" in bad
+        assert cli.call({"cmd": "ping"})["ok"]
+        assert cli.call({"cmd": "shutdown"})["shutdown"]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
