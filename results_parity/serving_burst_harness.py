@@ -1,0 +1,96 @@
+"""Concurrent-client serving burst: p50/p99 and aggregate throughput UNDER LOAD.
+
+N client threads each hold their own TCP connection and fire requests
+back-to-back for a fixed wall window against one dadmm-serve daemon
+(ThreadingTCPServer: one handler thread per connection, solves serialized by
+the solver lock — cli/serve.py). This measures what VERDICT round-1 item 8
+asked for: tail latency when a second (…Nth) client does NOT queue behind the
+first's socket, only behind the chip.
+
+Usage: python serving_burst_harness.py <run_dir> <label> [n_clients] [B]
+Run from the repo root. Produced the PARITY.md concurrent-load row.
+"""
+import json, os, selectors, socket, subprocess, sys, threading, time
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+READY_TIMEOUT_S = 1800
+
+run_dir, tier = sys.argv[1], sys.argv[2]
+N_CLIENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+B = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+WINDOW_S = 20.0
+
+proc = subprocess.Popen(
+    [sys.executable, "-m", "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+     run_dir, "--device", "tpu", "--port", "0", "--max_batch", "32",
+     "--compile_cache", os.path.join(REPO, ".xla_cache")],
+    stdout=subprocess.PIPE, text=True, cwd=REPO)
+t0 = time.time()
+sel = selectors.DefaultSelector()
+sel.register(proc.stdout, selectors.EVENT_READ)
+if not sel.select(timeout=READY_TIMEOUT_S):
+    proc.kill()
+    sys.exit(f"server produced no readiness line within {READY_TIMEOUT_S}s")
+line = proc.stdout.readline()
+if not line:
+    sys.exit(f"server exited before readiness (code {proc.wait()})")
+ready = json.loads(line)
+print(f"[{tier}] ready in {time.time()-t0:.1f}s: P={ready['P']} m={ready['m']} "
+      f"K={ready['K']}", file=sys.stderr)
+P, m = ready["P"], ready["m"]
+
+# Warm every pad path once on a single connection before the burst.
+s = socket.create_connection((ready["host"], ready["port"])); f = s.makefile("rw")
+rng = np.random.default_rng(0)
+for warm_b in (1, B, 32):
+    f.write(json.dumps({"b": rng.standard_normal((warm_b, P, m)).tolist()}) + "\n")
+    f.flush()
+    assert "y_hat" in json.loads(f.readline())
+f.close(); s.close()
+
+barrier = threading.Barrier(N_CLIENTS)
+stop_at = [0.0]
+results = [None] * N_CLIENTS
+
+def client(i):
+    rng_i = np.random.default_rng(100 + i)
+    payload = json.dumps({"b": rng_i.standard_normal((B, P, m)).tolist()}) + "\n"
+    si = socket.create_connection((ready["host"], ready["port"]))
+    fi = si.makefile("rw")
+    lats, n = [], 0
+    barrier.wait()
+    if i == 0:
+        stop_at[0] = time.perf_counter() + WINDOW_S
+    while stop_at[0] == 0.0:
+        time.sleep(0.001)
+    while time.perf_counter() < stop_at[0]:
+        t = time.perf_counter()
+        fi.write(payload); fi.flush()
+        resp = json.loads(fi.readline())
+        lats.append((time.perf_counter() - t) * 1e3)
+        assert "y_hat" in resp, resp
+        n += 1
+    results[i] = (n, lats)
+    fi.close(); si.close()
+
+threads = [threading.Thread(target=client, args=(i,)) for i in range(N_CLIENTS)]
+t_start = time.perf_counter()
+for t in threads: t.start()
+for t in threads: t.join()
+wall = max(time.perf_counter() - t_start, WINDOW_S)
+
+all_lats = np.concatenate([np.asarray(r[1]) for r in results])
+total_reqs = sum(r[0] for r in results)
+p50, p99 = np.percentile(all_lats, [50, 99])
+print(json.dumps({
+    "tier": tier, "n_clients": N_CLIENTS, "B": B,
+    "total_requests": int(total_reqs),
+    "p50_ms": round(float(p50), 1), "p99_ms": round(float(p99), 1),
+    "aggregate_solves_per_s": round(total_reqs * B / wall, 1),
+    "window_s": WINDOW_S,
+}))
+
+s2 = socket.create_connection((ready["host"], ready["port"])); f2 = s2.makefile("rw")
+f2.write(json.dumps({"cmd": "shutdown"}) + "\n"); f2.flush()
+proc.wait(timeout=60)
