@@ -28,6 +28,22 @@ where (a, w) are the per-agent fitted weights/bias after the K-iteration unroll.
 
 `{"cmd": "ping"}` health-checks, `{"cmd": "shutdown"}` stops the server. Serving knobs
 (`--dtype bfloat16`, `--gram_mode factored`) match `cli.evaluate`'s.
+
+Binary frames (high-throughput path, coexists with JSON on the same socket):
+measured under 8-way concurrent load, the JSON float serialization on the host —
+not the solver — is the daemon's throughput ceiling (PARITY.md burst row: the GIL
+serializes ~0.5 MB of JSON encode/decode per B=8 request). A client may therefore
+send the solve payload as a raw little-endian frame instead; the server dispatches
+per request on the first byte (`{` = JSON line, `D` = binary frame), so one
+connection can mix both freely:
+
+    request :  b"DBF1" | uint32 B | uint32 P | uint32 m | float32[B*P*m] b
+    response:  b"DBF1" | uint32 B | uint32 n | float32[B*n] y_hat
+    error   :  b"DBE1" | uint32 len | utf-8 message     (connection stays open)
+
+Binary frames cover the hot dlasso/GNN solve (no adj override); everything else
+(dlr fits, topology overrides, cmds) stays on JSON. Client helpers:
+`binary_solve(rfile, wfile, b)` below.
 """
 
 from __future__ import annotations
@@ -35,9 +51,47 @@ from __future__ import annotations
 import json
 import os
 import socketserver
+import struct
 import sys
 import threading
 import time
+
+BIN_MAGIC = b"DBF1"
+BIN_ERR_MAGIC = b"DBE1"
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    """Read exactly n bytes from a buffered file object (b"" only at clean EOF)."""
+    data = b""
+    while len(data) < n:
+        chunk = rfile.read(n - len(data))
+        if not chunk:
+            return b"" if not data else data  # torn frame surfaces as short read
+        data += chunk
+    return data
+
+
+def binary_solve(rfile, wfile, b_np):
+    """Client-side helper: one binary solve round trip. b_np is [P, m] or [B, P, m]
+    float-like; returns y_hat [B, n]. Raises RuntimeError on a DBE1 error frame."""
+    import numpy as np
+
+    b_np = np.asarray(b_np, dtype="<f4")
+    if b_np.ndim == 2:
+        b_np = b_np[None]
+    B, P, m = b_np.shape
+    wfile.write(struct.pack("<4sIII", BIN_MAGIC, B, P, m)
+                + np.ascontiguousarray(b_np).tobytes())
+    wfile.flush()
+    magic = _read_exact(rfile, 4)
+    if magic == BIN_ERR_MAGIC:
+        (ln,) = struct.unpack("<I", _read_exact(rfile, 4))
+        raise RuntimeError(_read_exact(rfile, ln).decode())
+    if magic != BIN_MAGIC:
+        raise RuntimeError(f"bad response magic {magic!r}")
+    B_out, n = struct.unpack("<II", _read_exact(rfile, 8))
+    payload = _read_exact(rfile, B_out * n * 4)
+    return np.frombuffer(payload, "<f4").reshape(B_out, n)
 
 
 class _Solver:
@@ -324,8 +378,51 @@ def _make_handler(solver: _Solver, server_ref: dict,
     import numpy as np
 
     class Handler(socketserver.StreamRequestHandler):
+        def _handle_binary(self) -> bool:
+            """One DBF1 solve frame (module docstring). Returns False to close the
+            connection (protocol desync: framing errors can't be resynced), True to
+            keep serving. Payload bytes go straight through np.frombuffer — no JSON
+            encode/decode on the hot path (the measured GIL ceiling, PARITY.md)."""
+            hdr = _read_exact(self.rfile, 16)
+            if len(hdr) < 16:
+                return False
+            magic, B, P, m = struct.unpack("<4sIII", hdr)
+            nbytes = B * P * m * 4
+            if magic != BIN_MAGIC or nbytes > max_request_bytes or nbytes == 0:
+                msg = (f"bad frame: magic={magic!r} payload={nbytes}B "
+                       f"(cap {max_request_bytes})").encode()
+                self.wfile.write(struct.pack("<4sI", BIN_ERR_MAGIC, len(msg)) + msg)
+                self.wfile.flush()
+                return False
+            payload = _read_exact(self.rfile, nbytes)
+            if len(payload) < nbytes:
+                return False
+            try:
+                if solver.case == "dlr":
+                    raise ValueError(
+                        "binary frames serve the dlasso/GNN families; dlr uses JSON")
+                b = np.frombuffer(payload, "<f4").reshape(B, P, m)
+                y_hat, B_out = solver.solve(b)
+                arr = np.ascontiguousarray(y_hat, dtype="<f4")
+                self.wfile.write(struct.pack("<4sII", BIN_MAGIC, B_out,
+                                             arr.shape[1]) + arr.tobytes())
+            except Exception as e:  # noqa: BLE001 - bad frame payload must not kill serving
+                msg = f"{type(e).__name__}: {e}".encode()
+                self.wfile.write(struct.pack("<4sI", BIN_ERR_MAGIC, len(msg)) + msg)
+            self.wfile.flush()
+            return True
+
         def handle(self):
             while True:
+                # Per-request dispatch on the first byte: JSON lines start with
+                # "{" (or whitespace), binary frames with the DBF1 magic.
+                head = self.rfile.peek(1)[:1]
+                if not head:
+                    return
+                if head == BIN_MAGIC[:1]:
+                    if not self._handle_binary():
+                        return
+                    continue
                 # Size-guarded line read: an unbounded `for raw in rfile` would
                 # buffer an arbitrarily large (malicious or buggy) line in memory
                 # before the JSON parse ever sees it. readline(limit) caps the

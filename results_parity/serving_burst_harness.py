@@ -7,11 +7,15 @@ the solver lock — cli/serve.py). This measures what VERDICT round-1 item 8
 asked for: tail latency when a second (…Nth) client does NOT queue behind the
 first's socket, only behind the chip.
 
-Usage: python serving_burst_harness.py <run_dir> <label> [n_clients] [B]
-Run from the repo root. Produced the PARITY.md concurrent-load row.
+Usage: python serving_burst_harness.py <run_dir> <label> [n_clients] [B] [json|binary]
+Run from the repo root. Produced the PARITY.md concurrent-load rows (the binary
+mode drives the DBF1 frame protocol — cli/serve.py module docstring).
 """
 import json, os, selectors, socket, subprocess, sys, threading, time
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve import binary_solve  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 READY_TIMEOUT_S = 1800
@@ -19,6 +23,7 @@ READY_TIMEOUT_S = 1800
 run_dir, tier = sys.argv[1], sys.argv[2]
 N_CLIENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 B = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+MODE = sys.argv[5] if len(sys.argv) > 5 else "json"
 WINDOW_S = 20.0
 
 proc = subprocess.Popen(
@@ -55,9 +60,10 @@ results = [None] * N_CLIENTS
 
 def client(i):
     rng_i = np.random.default_rng(100 + i)
-    payload = json.dumps({"b": rng_i.standard_normal((B, P, m)).tolist()}) + "\n"
+    b_arr = rng_i.standard_normal((B, P, m)).astype(np.float32)
     si = socket.create_connection((ready["host"], ready["port"]))
-    fi = si.makefile("rw")
+    fi = si.makefile("rwb" if MODE == "binary" else "rw")
+    payload = None if MODE == "binary" else json.dumps({"b": b_arr.tolist()}) + "\n"
     lats, n = [], 0
     barrier.wait()
     if i == 0:
@@ -66,10 +72,14 @@ def client(i):
         time.sleep(0.001)
     while time.perf_counter() < stop_at[0]:
         t = time.perf_counter()
-        fi.write(payload); fi.flush()
-        resp = json.loads(fi.readline())
+        if MODE == "binary":
+            y_hat = binary_solve(fi, fi, b_arr)
+            assert y_hat.shape[0] == B
+        else:
+            fi.write(payload); fi.flush()
+            resp = json.loads(fi.readline())
+            assert "y_hat" in resp, resp
         lats.append((time.perf_counter() - t) * 1e3)
-        assert "y_hat" in resp, resp
         n += 1
     results[i] = (n, lats)
     fi.close(); si.close()
@@ -84,7 +94,7 @@ all_lats = np.concatenate([np.asarray(r[1]) for r in results])
 total_reqs = sum(r[0] for r in results)
 p50, p99 = np.percentile(all_lats, [50, 99])
 print(json.dumps({
-    "tier": tier, "n_clients": N_CLIENTS, "B": B,
+    "tier": tier, "mode": MODE, "n_clients": N_CLIENTS, "B": B,
     "total_requests": int(total_reqs),
     "p50_ms": round(float(p50), 1), "p99_ms": round(float(p99), 1),
     "aggregate_solves_per_s": round(total_reqs * B / wall, 1),

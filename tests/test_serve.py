@@ -357,3 +357,62 @@ def test_serve_hot_reload():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_binary_protocol():
+    """DBF1 binary frames: same answers as JSON, mixed freely on one connection,
+    error frames for bad payloads without killing the connection (cli/serve.py
+    module docstring — the path that removes the measured JSON/GIL ceiling)."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve import binary_solve
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "4",
+         "--max_request_mb", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    ready = json.loads(proc.stdout.readline())
+    try:
+        cli = Client(ready["host"], ready["port"])
+        A = np.load(os.path.join(RUN, "A.npy"))
+        rng = np.random.default_rng(3)
+        B = 6  # larger than max_batch: exercises chunking under binary framing
+        ys = 2.0 * rng.standard_normal((B, 500)) * (rng.random((B, 500)) <= 0.25)
+        bs = np.einsum("pmn,bn->bpm", A, ys).astype(np.float32)
+
+        via_json = np.asarray(cli.call({"b": bs.tolist()})["y_hat"],
+                              dtype=np.float32)
+        via_bin = binary_solve(cli.f, cli.f, bs)
+        assert via_bin.shape == (B, 500)
+        # identical bytes in (JSON floats round-trip f32 exactly) => near-identical out
+        np.testing.assert_allclose(via_bin, via_json, atol=1e-5)
+
+        # single-sample [P, m] form
+        one = binary_solve(cli.f, cli.f, bs[0])
+        np.testing.assert_allclose(one[0], via_bin[0], atol=1e-6)
+
+        # wrong agent/measurement dims -> DBE1 error frame, connection stays usable
+        with pytest.raises(RuntimeError, match="b must be"):
+            binary_solve(cli.f, cli.f, np.zeros((2, 3, 7), np.float32))
+        assert cli.call({"cmd": "ping"})["ok"]  # JSON still works after binary error
+
+        # oversized frame (beyond --max_request_mb) is refused and closes the
+        # connection (framing can't resync after a refused header)
+        big_B = (1 * 1024 * 1024) // (5 * 100 * 4) + 1
+        import struct as _struct
+        cli.f.write(_struct.pack("<4sIII", b"DBF1", big_B, 5, 100))
+        cli.f.flush()
+        assert cli.f.read(4) == b"DBE1"
+        (ln,) = _struct.unpack("<I", cli.f.read(4))
+        assert b"cap" in cli.f.read(ln)
+        assert cli.f.read(1) == b""  # server closed the connection
+
+        cli2 = Client(ready["host"], ready["port"])
+        assert cli2.call({"cmd": "shutdown"})["shutdown"]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
