@@ -30,12 +30,12 @@ where (a, w) are the per-agent fitted weights/bias after the K-iteration unroll.
 (`--dtype bfloat16`, `--gram_mode factored`) match `cli.evaluate`'s.
 
 Binary frames (high-throughput path, coexists with JSON on the same socket):
-measured under 8-way concurrent load, the JSON float serialization on the host —
-not the solver — is the daemon's throughput ceiling (PARITY.md burst row: the GIL
-serializes ~0.5 MB of JSON encode/decode per B=8 request). A client may therefore
-send the solve payload as a raw little-endian frame instead; the server dispatches
-per request on the first byte (`{` = JSON line, `D` = binary frame), so one
-connection can mix both freely:
+per B=8 request the JSON path allocates/parses ~0.5 MB of float strings, which is
+both latency and — measured on the real chip — the serving TAIL: raw float32
+frames cut p99 6.5x (157 vs 1026 ms) and lift single-client throughput 50%
+(81.5 vs 54.5 solves/s); see the PARITY.md burst rows for the 1/8-client x
+json/binary grid. The server dispatches per request on the first byte
+(`{` = JSON line, `D` = binary frame), so one connection can mix both freely:
 
     request :  b"DBF1" | uint32 B | uint32 P | uint32 m | float32[B*P*m] b
     response:  b"DBF1" | uint32 B | uint32 n | float32[B*n] y_hat
@@ -382,7 +382,7 @@ def _make_handler(solver: _Solver, server_ref: dict,
             """One DBF1 solve frame (module docstring). Returns False to close the
             connection (protocol desync: framing errors can't be resynced), True to
             keep serving. Payload bytes go straight through np.frombuffer — no JSON
-            encode/decode on the hot path (the measured GIL ceiling, PARITY.md)."""
+            string alloc on the hot path (the measured serving tail, PARITY.md)."""
             hdr = _read_exact(self.rfile, 16)
             if len(hdr) < 16:
                 return False
