@@ -13,6 +13,13 @@ with torch: per-agent Python-loop matvecs and the per-edge consensus triple loop
 (`unfolded_DLASSO.py:69-99,111-140` semantics), same shapes, one timed iteration
 (extrapolated). The reference repo publishes no throughput numbers (BASELINE.md), so
 its own algorithmic style at the same shapes is the baseline.
+
+Variant ordering is budget-aware (remote-compile latency through the tunnel is highly
+variable): the persistent compile cache (`utils/platform.enable_compile_cache`,
+`.xla_cache/` — warmed by in-session runs) is enabled first, then the headline forward
+variants, then the TRAINING variants (the production fwd+bwd path — these must land in
+the recorded artifact), then the reference-shape P=8 grid and the classic color-sweep
+row, and only then the informational forward ablations.
 """
 
 import json
@@ -34,26 +41,28 @@ MXU_PEAK_F32_TFLOPS = 49.0   # fp32 operands run the MXU at ~1/4 of bf16
 
 
 def variant_roofline(tag: str) -> dict:
-    """Analytic per-iteration HBM bytes + MXU FLOPs for a bench variant at the
-    headline shape. The model (validated against the measured phase ablation in
-    BASELINE.md): every iteration reads y/U/delta/Atb and writes y/U/delta + the
-    Y snapshot (8 state-tensor transfers), re-streams the matvec operand (XLA does
-    not keep it resident across scan steps), and reads the adjacency; FLOPs are the
-    matvec + consensus matmuls (elementwise is <2% and omitted)."""
+    """Analytic per-iteration HBM bytes + MXU FLOPs for a bench variant. The model
+    (validated against the measured phase ablation in BASELINE.md): every iteration
+    reads y/U/delta/Atb and writes y/U/delta + the Y snapshot (8 state-tensor
+    transfers), re-streams the matvec operand (XLA does not keep it resident across
+    scan steps), and reads the adjacency; FLOPs are the matvec + consensus matmuls
+    (elementwise is <2% and omitted). `ref_shape_*` variants use P=8; everything
+    else the headline P."""
+    p = 8 if tag.startswith("ref_shape") else P
     sd = 2 if "bf16_state" in tag else 4               # solver-state dtype bytes
     # operand/MXU dtype: bf16 only when the MATMUL dtype is bf16 (xla_bf16 /
     # *_bf16mm variants); bf16_state keeps the operand f32 (state-only cast)
     md = 2 if ("bf16mm" in tag or tag == "xla_bf16") else 4
-    units = 7 if "final" in tag else 8                 # final-only drops the Y write
-    state = units * B * P * N * sd
+    units = 7 if "final" in tag or "losses" in tag or "train" in tag else 8
+    state = units * B * p * N * sd                     # in-scan loss drops the Y write
     if "factored" in tag or "train" in tag:            # train variants run factored
-        operand = 2 * P * M * N * md
-        mv_flops = 2 * 2 * B * P * M * N
+        operand = 2 * p * M * N * md
+        mv_flops = 2 * 2 * B * p * M * N
     else:
-        operand = P * N * N * md
-        mv_flops = 2 * B * P * N * N
-    adj_bytes = B * P * P * 4
-    cons_flops = 2 * B * P * P * N
+        operand = p * N * N * md
+        mv_flops = 2 * B * p * N * N
+    adj_bytes = B * p * p * 4
+    cons_flops = 2 * B * p * p * N
     bytes_it = state + operand + adj_bytes
     flops_it = mv_flops + cons_flops
     if tag.startswith("train"):
@@ -67,11 +76,12 @@ def variant_roofline(tag: str) -> dict:
 
 
 def attach_rooflines(variants: dict) -> dict:
-    """iter/s -> %-of-peak for every headline-shape variant (ref_shape_* is a
-    different shape; skipped)."""
+    """iter/s -> %-of-peak for every unfolded-family variant (headline shape and
+    ref_shape P=8; classic_* is a different algorithm — Gauss-Seidel color sweeps
+    over a row-partitioned global A — so the model doesn't apply and it's skipped)."""
     out = {}
     for tag, v in variants.items():
-        if v is None or tag.startswith("ref_shape"):
+        if v is None or tag.startswith("classic"):
             continue
         ips = v[0]
         r = variant_roofline(tag)
@@ -89,8 +99,14 @@ def bench_tpu():
     import jax.numpy as jnp
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import dadmm_core, seq_hyperparam
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses as loss_lib
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils.platform import enable_compile_cache
 
-    rng = np.random.default_rng(0)
+    # Persistent XLA compile cache: the tunnel's remote compiles cost 30s..15min per
+    # program and were the reason BENCH_r02's late variants never ran — with a warm
+    # cache every program loads in seconds and the whole grid fits the budget.
+    enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"))
+
     key = jax.random.key(0)
     # Gaussian A (skip the SVD conditioning: benchmark targets the iteration loop)
     A = jax.random.normal(key, (P, M, N), jnp.float32) / np.sqrt(M)
@@ -145,16 +161,13 @@ def bench_tpu():
         out_bytes = Y_BYTES // (2 if kw.get("solver_dtype") == "bfloat16" else 1)
         return time_loop(unroll, (state, table), out_bytes, tag)
 
-    # Headline variant first — remote-compile latency through the tunnel is highly
-    # variable (30s..15min per program), so the fastest known variant is measured
-    # unconditionally and everything else is best-effort under a deadline. The driver
-    # must always get its one JSON line.
+    # Headline variants first — everything after them is best-effort under a deadline.
+    # The driver must always get its one JSON line.
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "900"))
     variants = {
         "xla_fp32_factored_noguard": timed(
             "xla_fp32_factored_noguard", nan_guard=False, gram_mode="factored"
         ),
-        "xla_fp32_noguard": timed("xla_fp32_noguard", nan_guard=False),
     }
     # Serving fast path: final-iterate-only unroll (no per-iteration Y snapshot
     # write) — what cli/serve.py actually runs; trajectory-identical to the
@@ -171,90 +184,60 @@ def bench_tpu():
     except Exception as e:  # noqa: BLE001
         print(f"variant final failed: {e}", file=sys.stderr, flush=True)
 
-    for tag, kw in (
-        ("xla_fp32", {}),
-        ("xla_fp32_factored", {"gram_mode": "factored"}),
-        # bf16 solver state: quality-gated serving mode — NMSE within a 0.5% gate of
-        # f32 (0.08% measured) on the trained flagship checkpoint (PARITY.md,
-        # tests/test_core.py).
-        ("xla_bf16_state_factored",
-         {"nan_guard": False, "gram_mode": "factored", "solver_dtype": "bfloat16"}),
-        ("xla_bf16", {"matmul_dtype": "bfloat16"}),
-        ("pallas_fp32", {"use_pallas": True}),
-    ):
-        if time.monotonic() > deadline:
-            print(f"skipping {tag}: bench budget exhausted", file=sys.stderr, flush=True)
-            continue
-        try:
-            variants[tag] = timed(tag, **kw)
-        except Exception as e:  # noqa: BLE001 - extras must never kill the bench
-            print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
-
-    # bf16 VMEM-resident full-unroll kernel at the headline shape (round 2):
-    # exact on hardware (K=2 gate) but measured SLOWER than XLA — kept in the bench
-    # as the recorded refutation (DESIGN.md section 3 has the phase ablation).
-    if time.monotonic() < deadline:
-        try:
-            from hyperparameter_gnn_unfolded_d_admm_main_tpu.kernels import full_unroll
-
-            deg = jnp.sum(adj, axis=-1)
-            clipt = full_unroll.unfolded_clip_table(K)
-            res_fn = jax.jit(lambda st, tb: full_unroll.fused_unroll_resident(
-                A, st.y, st.U, st.delta, Atb, deg, adj, tb, clipt))
-            print("compiling pallas_resident_bf16...", file=sys.stderr, flush=True)
-            Yr = res_fn(state, table)
-            jax.block_until_ready(Yr)
-            g2 = jax.jit(lambda: full_unroll.fused_unroll_resident(
-                A, state.y, state.U, state.delta, Atb, deg, adj, table[:2], clipt[:2]))()
-            w2 = jax.jit(lambda: full_unroll._jnp_unroll_resident(
-                A, state.y, state.U, state.delta, Atb, deg, adj, table[:2], clipt[:2]))()
-            err = float(jnp.max(jnp.abs(g2.astype(jnp.float32) - w2.astype(jnp.float32)))
-                        / (jnp.max(jnp.abs(w2.astype(jnp.float32))) + 1e-9))
-            print(f"resident bf16 kernel K=2 parity rel err: {err:.2e}",
-                  file=sys.stderr, flush=True)
-            if err < 2e-2:
-                variants["pallas_resident_bf16"] = time_loop(
-                    res_fn, (state, table), Y_BYTES // 2, "pallas_resident_bf16")
-        except Exception as e:  # noqa: BLE001
-            print(f"variant pallas_resident_bf16 failed: {e}", file=sys.stderr, flush=True)
-
     # Training step (value+grad through the K-scan with in-scan loss reduction) at
     # the headline shape — the production training path, not just the forward unroll.
-    # Three variants: the default remat'd fp32 path, no-remat (activations stored —
-    # trades the backward's forward-recompute for HBM; fits at this shape), and
-    # bf16-fed MXU matvecs (f32 accumulation) through both passes.
+    # Runs IMMEDIATELY after the headline so a budget overrun can only cost the
+    # informational ablations (VERDICT r2 item 1). Variants: the default remat'd
+    # fp32 path; bf16 solver state through BOTH passes (quality gate:
+    # tests/test_train.py::test_bf16_state_training_quality_gate); the full
+    # production combo bf16 state + factored + in-scan loss + masked-K (one max-K
+    # program serving every K of the progressive schedule); no-remat; bf16-fed MXU.
     label = jax.random.normal(jax.random.key(11), (B, N), jnp.float32)
-    for tag, tkw in (
-        ("train_fwd_bwd_factored", {"remat": True}),
-        ("train_fwd_bwd_noremat", {"remat": False}),
-        ("train_fwd_bwd_bf16mm", {"remat": True, "matmul_dtype": "bfloat16"}),
+
+    def timed_train(tag, masked_k=False, **tkw):
+        def train_loss(tb, k_act):
+            per_kp = dadmm_core.unroll_table_losses(
+                state, tb, None, Atb, adj, label,
+                nan_guard=False, A=A, gram_mode="factored", **tkw)
+            if masked_k:
+                _, lf = loss_lib.masked_losses_from_per_kp(per_kp, k_act)
+                return lf
+            return jnp.mean(per_kp[-1])
+
+        gstep = jax.jit(jax.value_and_grad(train_loss))
+        k_act = jnp.int32(K)
+        print(f"compiling {tag}...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        v, g = gstep(table, k_act)
+        jax.block_until_ready(v)
+        print(f"compiled {tag} in {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        # fwd+bwd contains a full forward pass, so it can never run faster than
+        # the fastest forward-only variant measured above — a much tighter floor
+        # than HBM bytes (a 72k iter/s tunnel anomaly once cleared the byte bound).
+        fwd_spu = [vv[1] for kk, vv in variants.items()
+                   if vv is not None and not kk.startswith("train")]
+        return time_loop(
+            lambda tb, _g=gstep: _g(tb, k_act)[0], (table,), Y_BYTES // 2, tag,
+            min_s_per_unroll=min(fwd_spu) if fwd_spu else 0.0)
+
+    for tag, mk, tkw in (
+        ("train_fwd_bwd_factored", False, {"remat": True}),
         # bf16 solver state through BOTH passes: the gradient flows through the
-        # bf16-stored carry. Quality gate: tests/test_train.py
-        # ::test_bf16_state_training_quality_gate trains both dtypes and asserts
-        # the bf16 final val loss lands within 5% of f32.
-        ("train_fwd_bwd_bf16_state", {"remat": True, "solver_dtype": "bfloat16"}),
+        # bf16-stored carry; final val loss within 5% of f32 (gated test above).
+        ("train_fwd_bwd_bf16_state", False, {"remat": True, "solver_dtype": "bfloat16"}),
+        # The production P=64/B=256 progressive-training config, all optimizations
+        # on: bf16 carry + factored operand + in-scan loss + traced-K masking.
+        ("train_fwd_bwd_bf16_state_maskedk", True,
+         {"remat": True, "solver_dtype": "bfloat16"}),
+        ("train_fwd_bwd_noremat", False, {"remat": False}),
+        ("train_fwd_bwd_bf16mm", False, {"remat": True, "matmul_dtype": "bfloat16"}),
     ):
         if time.monotonic() > deadline:
             print(f"skipping {tag}: bench budget exhausted", file=sys.stderr, flush=True)
             continue
         try:
-            def train_loss(tb, _tkw=tkw):
-                per_kp = dadmm_core.unroll_table_losses(
-                    state, tb, None, Atb, adj, label,
-                    nan_guard=False, A=A, gram_mode="factored", **_tkw)
-                return jnp.mean(per_kp[-1])
-
-            gstep = jax.jit(jax.value_and_grad(train_loss))
-            v, g = gstep(table)
-            jax.block_until_ready(v)
-            # fwd+bwd contains a full forward pass, so it can never run faster than
-            # the fastest forward-only variant measured above — a much tighter floor
-            # than HBM bytes (a 72k iter/s tunnel anomaly once cleared the byte bound).
-            fwd_spu = [v[1] for v in variants.values() if v is not None]
-            variants[tag] = time_loop(
-                lambda tb, _g=gstep: _g(tb)[0], (table,), Y_BYTES // 2, tag,
-                min_s_per_unroll=min(fwd_spu) if fwd_spu else 0.0)
-        except Exception as e:  # noqa: BLE001
+            variants[tag] = timed_train(tag, masked_k=mk, **tkw)
+        except Exception as e:  # noqa: BLE001 - extras must never kill the bench
             print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
 
     # Reference-shape config (small agent count, like the paper benchmarks): P=8.
@@ -301,6 +284,83 @@ def bench_tpu():
                     fused8, (st8, tb8), y8_bytes, "ref_shape_P8_pallas")
         except Exception as e:  # noqa: BLE001
             print(f"variant ref_shape_P8 failed: {e}", file=sys.stderr, flush=True)
+
+    # Classic color-sweep D-ADMM at the reference's own P=5 shape (m=500, n=2000
+    # global A row-partitioned across agents, `models.py:376-414` semantics) — the
+    # "every component fast" row. iter/s counts outer D-ADMM iterations (each is a
+    # full C-color Gauss-Seidel sweep + dual ascent).
+    if time.monotonic() < deadline:
+        try:
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import classic
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import classic_data
+
+            P5, KC, BC = 5, 24, 24
+            Ag = classic_data.global_sensing_matrix(jax.random.key(20), 500, 2000)
+            solver = classic.DADMMLASSOClassic(Ag, P5)
+            adj5 = graphs.sample_connected_er(np.random.default_rng(21), 1, P5, 0.5)[0]
+            sched = classic.make_color_schedule(adj5, np.random.default_rng(22))
+            bC = jax.random.normal(jax.random.key(23), (BC, 500), jnp.float32)
+            hyp5 = jnp.tile(jnp.asarray([0.2603, 0.3013, 0.1142, 0.0867]), (KC, P5, 1))
+            run5 = jax.jit(lambda h, bb: solver.run(h, bb, sched)[0])
+            X = run5(hyp5, bC)
+            jax.block_until_ready(X)
+            t0 = time.perf_counter()
+            for _ in range(REPEATS):
+                X = run5(hyp5, bC)
+            jax.block_until_ready(X)
+            dt = time.perf_counter() - t0
+            variants["classic_P5_color_sweep"] = (REPEATS * KC / dt, dt / REPEATS)
+        except Exception as e:  # noqa: BLE001
+            print(f"variant classic_P5 failed: {e}", file=sys.stderr, flush=True)
+
+    # Informational forward ablations (the full dtype/operand grid from r1/r2).
+    for tag, kw in (
+        ("xla_fp32_noguard", {"nan_guard": False}),
+        ("xla_fp32", {}),
+        ("xla_fp32_factored", {"gram_mode": "factored"}),
+        # bf16 solver state: quality-gated serving mode — NMSE within a 0.5% gate of
+        # f32 (0.08% measured) on the trained flagship checkpoint (PARITY.md,
+        # tests/test_core.py).
+        ("xla_bf16_state_factored",
+         {"nan_guard": False, "gram_mode": "factored", "solver_dtype": "bfloat16"}),
+        ("xla_bf16", {"matmul_dtype": "bfloat16"}),
+        ("pallas_fp32", {"use_pallas": True}),
+    ):
+        if time.monotonic() > deadline:
+            print(f"skipping {tag}: bench budget exhausted", file=sys.stderr, flush=True)
+            continue
+        try:
+            variants[tag] = timed(tag, **kw)
+        except Exception as e:  # noqa: BLE001 - extras must never kill the bench
+            print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
+
+    # bf16 VMEM-resident full-unroll kernel at the headline shape (round 2):
+    # exact on hardware (K=2 gate) but measured SLOWER than XLA — kept in the bench
+    # as the recorded refutation (DESIGN.md section 3 has the phase ablation).
+    if time.monotonic() < deadline:
+        try:
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.kernels import full_unroll
+
+            deg = jnp.sum(adj, axis=-1)
+            clipt = full_unroll.unfolded_clip_table(K)
+            res_fn = jax.jit(lambda st, tb: full_unroll.fused_unroll_resident(
+                A, st.y, st.U, st.delta, Atb, deg, adj, tb, clipt))
+            print("compiling pallas_resident_bf16...", file=sys.stderr, flush=True)
+            Yr = res_fn(state, table)
+            jax.block_until_ready(Yr)
+            g2 = jax.jit(lambda: full_unroll.fused_unroll_resident(
+                A, state.y, state.U, state.delta, Atb, deg, adj, table[:2], clipt[:2]))()
+            w2 = jax.jit(lambda: full_unroll._jnp_unroll_resident(
+                A, state.y, state.U, state.delta, Atb, deg, adj, table[:2], clipt[:2]))()
+            err = float(jnp.max(jnp.abs(g2.astype(jnp.float32) - w2.astype(jnp.float32)))
+                        / (jnp.max(jnp.abs(w2.astype(jnp.float32))) + 1e-9))
+            print(f"resident bf16 kernel K=2 parity rel err: {err:.2e}",
+                  file=sys.stderr, flush=True)
+            if err < 2e-2:
+                variants["pallas_resident_bf16"] = time_loop(
+                    res_fn, (state, table), Y_BYTES // 2, "pallas_resident_bf16")
+        except Exception as e:  # noqa: BLE001
+            print(f"variant pallas_resident_bf16 failed: {e}", file=sys.stderr, flush=True)
 
     variants = {k: v for k, v in variants.items() if v is not None}
 
@@ -357,9 +417,10 @@ def main():
     except Exception:  # noqa: BLE001 - fall back to the recorded round-1 measurement
         base_ips = 0.0522
     # Headline over the P=64 scaled-config FORWARD unroll only (ref_shape_* is a
-    # different, easier workload; train_* includes the backward — informational).
+    # different, easier workload; train_* includes the backward and classic_* is a
+    # different algorithm — informational).
     headline = {k: v for k, v in variants.items()
-                if not k.startswith(("ref_shape", "train_"))}
+                if not k.startswith(("ref_shape", "train_", "classic"))}
     if not headline:  # every variant dropped (all-implausible timing): report honestly
         print(json.dumps({
             "metric": "dadmm_iter_per_sec_per_chip", "value": 0.0, "unit": "iter/s",

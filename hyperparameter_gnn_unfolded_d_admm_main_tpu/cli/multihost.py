@@ -1,11 +1,23 @@
-"""Multi-host (multi-process) data-parallel training demo.
+"""Multi-host (multi-process) training demo — including DCN-crossing consensus.
 
 The multi-chip tests exercise a single-process mesh; this driver demonstrates the real
 multi-controller path the framework uses across TPU hosts: every process calls
-`jax.distributed.initialize`, builds the SAME global (data, agents) mesh, assembles its
-process-local batch shard into global arrays (`make_array_from_process_local_data`),
-and runs the GSPMD training step — gradients reduce across processes (DCN on real pods,
-gloo on the CPU demo). Loss comes back identical on every process.
+`jax.distributed.initialize`, builds the SAME global (data, agents) mesh, and runs
+three phases (gloo CPU collectives here; DCN/ICI on real pods):
+
+1. `dp` — data-parallel GSPMD flagship training: per-process local batch shards
+   assembled into global arrays (`make_array_from_process_local_data`), gradients
+   reduce across processes, loss identical on every process.
+2. `packed` — THE north-star path (BASELINE.md "P=1024 agents sharded across >=2
+   hosts, collective consensus exchange"): the mesh is built TRANSPOSED so the
+   `agents` axis spans the process boundary (verified via `device.process_index`),
+   and the packed ppermute ring unroll (`parallel/unfolded_sharded.py
+   make_sharded_unroll_packed`) carries every consensus edge between processes.
+   Output is checked shard-by-shard against a locally computed dense single-device
+   unroll (reference semantics: `unfolded_DLASSO.py:127-140` neighbor exchange).
+3. `flagship` — the GSPMD GNN-hypernetwork train step on the same agents-across-
+   processes mesh; the pre-update loss is checked against a locally computed dense
+   forward on identical params/batch/key.
 
 Run as a self-launcher (spawns N local worker processes, CPU backend):
 
@@ -25,6 +37,13 @@ import subprocess
 import sys
 
 
+def _make_global(np_arr, sharding):
+    """Global array from an identical-on-every-process numpy array."""
+    import jax
+
+    return jax.make_array_from_callback(np_arr.shape, sharding, lambda idx: np_arr[idx])
+
+
 def worker(process_id: int, num_processes: int, coordinator: str,
            local_devices: int = 2, steps: int = 3) -> None:
     os.environ["XLA_FLAGS"] = (
@@ -42,15 +61,19 @@ def worker(process_id: int, num_processes: int, coordinator: str,
     )
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
     from ..config import Config
+    from ..models import dadmm_core, seq_hyperparam
     from ..models.gnn_hypernet import DLASSOGNNHyp
-    from ..ops import data as data_ops, graphs, sensing
-    from ..parallel import mesh as mesh_lib, shard_step
-    from ..train import optim
+    from ..ops import data as data_ops, graphs, sensing, topology as topo_lib
+    from ..parallel import mesh as mesh_lib, shard_step, unfolded_sharded
+    from ..train import losses as loss_lib, optim
 
     n_global = jax.device_count()
+    tag = f"[proc {process_id}/{num_processes}]"
+
+    # ---------------- phase 1: data-parallel training (agents=1) ----------------
     mesh = mesh_lib.make_mesh(data=n_global, agents=1)
     cfg = Config(P=5, m=8, n=16, GHyp_hidden=4, GHN_iter_num=2,
                  batch_size=2 * n_global, lr=1e-3)
@@ -66,7 +89,7 @@ def worker(process_id: int, num_processes: int, coordinator: str,
     replicate = lambda tree: jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)), tree
     )
-    params, norm_state, opt_state = replicate((params, norm_state, opt_state))
+    r_params, r_norm, r_opt = replicate((params, norm_state, opt_state))
     key = jax.make_array_from_process_local_data(
         repl, np.asarray(jax.random.key_data(jax.random.key(3)))
     )
@@ -88,11 +111,116 @@ def worker(process_id: int, num_processes: int, coordinator: str,
     train_step = shard_step.make_gnn_train_step(mesh, model, tx)
     lf = None
     for step in range(steps):
-        params, norm_state, opt_state, lm, lf = train_step(
-            params, norm_state, opt_state, key, (b, y, adj), cfg.GHN_iter_num
+        r_params, r_norm, r_opt, lm, lf = train_step(
+            r_params, r_norm, r_opt, key, (b, y, adj), cfg.GHN_iter_num
         )
-    print(f"[proc {process_id}/{num_processes}] global devices={n_global} "
-          f"steps={steps} loss_final={float(lf):.6f}", flush=True)
+    print(f"{tag} phase=dp global_devices={n_global} steps={steps} "
+          f"loss_final={float(lf):.6f}", flush=True)
+
+    # ------- phases 2+3: agents axis ACROSS the process boundary -------
+    # Transposed mesh: jax.devices() orders by process, so reshape(agents, data).T
+    # puts consecutive processes along the AGENTS axis — every consensus collective
+    # (the packed ppermute ring, the GSPMD all-gathers) crosses processes.
+    dev = np.asarray(jax.devices()).reshape(num_processes, n_global // num_processes).T
+    xmesh = Mesh(dev, (mesh_lib.DATA_AXIS, mesh_lib.AGENT_AXIS))
+    agent_procs = sorted({d.process_index for d in dev[0, :]})
+    if len(agent_procs) != num_processes:
+        raise RuntimeError(f"agents axis does not span processes: {agent_procs}")
+
+    # -- phase 2: packed ppermute table-tier unroll, checked vs local dense --
+    Pa, na, ma, Ba, Ka = 8, 32, 16, 4, 3
+    s_agents = num_processes
+    rng = np.random.default_rng(7)
+    A_np = (rng.standard_normal((Pa, ma, na)) / np.sqrt(ma)).astype(np.float32)
+    Atb_np = rng.standard_normal((Ba, Pa, na)).astype(np.float32)
+    st_np = dadmm_core.SolverState(
+        y=(1e-2 * rng.standard_normal((Ba, Pa, na))).astype(np.float32),
+        U=(1e-2 * rng.standard_normal((Ba, Pa, na))).astype(np.float32),
+        delta=(1e-2 * rng.standard_normal((Ba, Pa, na))).astype(np.float32),
+    )
+    adj_np = graphs.sample_connected_er(np.random.default_rng(8), Ba, Pa, 0.5)
+    table_np = np.asarray(seq_hyperparam.hyp_table(
+        0.05 * jnp.ones((Ka, Pa, 4), jnp.float32), jnp.asarray([0.1, 0.99, 0.99, 0.99])
+    ))
+    packed_np = jax.tree_util.tree_map(
+        np.asarray, topo_lib.pack_adjacency_sharded(adj_np, s_agents)
+    )
+
+    sh_bpa = NamedSharding(xmesh, PS(mesh_lib.DATA_AXIS, mesh_lib.AGENT_AXIS))
+    sh_ka = NamedSharding(xmesh, PS(None, mesh_lib.AGENT_AXIS))
+    sh_a = NamedSharding(xmesh, PS(mesh_lib.AGENT_AXIS))
+    g_state = dadmm_core.SolverState(*(_make_global(x, sh_bpa) for x in st_np))
+    g_table = _make_global(table_np, sh_ka)
+    g_A = _make_global(A_np, sh_a)
+    g_Atb = _make_global(Atb_np, sh_bpa)
+    g_packed = topo_lib.ShardedPackedTopology(
+        nbr_shard=_make_global(packed_np.nbr_shard, sh_bpa),
+        nbr_local=_make_global(packed_np.nbr_local, sh_bpa),
+        mask=_make_global(packed_np.mask, sh_bpa),
+        deg=_make_global(packed_np.deg, sh_bpa),
+    )
+    unroll = unfolded_sharded.make_sharded_unroll_packed(
+        xmesh, schedule="ppermute", gram_mode="factored", remat=False
+    )
+    Y = unroll(g_state, g_table, g_A, g_Atb, g_packed)
+
+    # Local dense reference (every process has the full numpy inputs).
+    Y_ref = np.asarray(dadmm_core.unroll_table(
+        dadmm_core.SolverState(*(jnp.asarray(x) for x in st_np)),
+        jnp.asarray(table_np), None, jnp.asarray(Atb_np), jnp.asarray(adj_np),
+        A=jnp.asarray(A_np), gram_mode="factored", remat=False,
+    ))
+    scale = np.max(np.abs(Y_ref)) + 1e-9
+    max_err = max(
+        float(np.max(np.abs(np.asarray(sh.data) - Y_ref[sh.index]))) / scale
+        for sh in Y.addressable_shards
+    )
+    if max_err > 1e-4:
+        raise RuntimeError(f"packed cross-process consensus mismatch: {max_err:.2e}")
+    print(f"{tag} phase=packed agents_procs={agent_procs} P={Pa} shards={s_agents} "
+          f"max_rel_err={max_err:.2e}", flush=True)
+
+    # -- phase 3: GSPMD flagship train step with agents spanning processes --
+    cfg8 = Config(P=8, m=8, n=16, GHyp_hidden=4, GHN_iter_num=2, batch_size=4, lr=1e-3)
+    A8 = sensing.set_A(jax.random.key(50), cfg8.P, cfg8.m, cfg8.n)
+    model8 = DLASSOGNNHyp(A8, cfg8)
+    params8, norm8 = model8.init(jax.random.key(51))
+    tx8 = optim.make_optimizer("adamw", cfg8.lr, weight_decay=1e-5, clip_norm=100.0)
+    opt8 = tx8.init(params8)
+    b8_l, y8_l = data_ops.make_dataset(jax.random.key(52), A8, cfg8.batch_size,
+                                       snr=cfg8.snr)
+    adj8_np = graphs.sample_connected_er(
+        np.random.default_rng(53), cfg8.batch_size, cfg8.P, cfg8.graph_prob
+    )
+    key8 = jax.random.key(54)
+
+    xrepl = NamedSharding(xmesh, PS())
+    xreplicate = lambda tree: jax.tree_util.tree_map(
+        lambda x: _make_global(np.asarray(x), xrepl), tree
+    )
+    x_params, x_norm, x_opt = xreplicate((params8, norm8, opt8))
+    x_key = jax.random.wrap_key_data(
+        _make_global(np.asarray(jax.random.key_data(key8)), xrepl)
+    )
+    xb = _make_global(np.asarray(b8_l), sh_bpa)
+    xy = _make_global(np.asarray(y8_l), NamedSharding(xmesh, PS(mesh_lib.DATA_AXIS)))
+    xadj = _make_global(adj8_np.astype(np.float32), sh_bpa)
+    xstep = shard_step.make_gnn_train_step(xmesh, model8, tx8)
+    _, _, _, lm8, lf8 = xstep(x_params, x_norm, x_opt, x_key, (xb, xy, xadj),
+                              cfg8.GHN_iter_num)
+    lf8 = float(lf8)
+
+    # Local dense forward on identical params/batch/key (partitionable threefry
+    # makes the dropout draw sharding-invariant, so values must agree).
+    out_l = model8.apply(params8, norm8, key8, b8_l, jnp.asarray(adj8_np),
+                         training_iterations=cfg8.GHN_iter_num, training=True)
+    _, lf_ref = loss_lib.compute_loss(out_l.Y, y8_l)
+    rel = abs(lf8 - float(lf_ref)) / (abs(float(lf_ref)) + 1e-12)
+    if rel > 1e-3:
+        raise RuntimeError(
+            f"flagship cross-process loss mismatch: {lf8} vs {float(lf_ref)}")
+    print(f"{tag} phase=flagship agents_procs={agent_procs} loss_final={lf8:.6f} "
+          f"local_dense={float(lf_ref):.6f} rel_err={rel:.2e}", flush=True)
 
 
 def main(argv=None):
@@ -125,14 +253,24 @@ def main(argv=None):
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
     ok = all(p.returncode == 0 for p in procs)
-    losses = []
+    phases = {"dp": [], "packed": [], "flagship": []}
     for i, o in enumerate(outs):
-        line = [l for l in o.splitlines() if l.startswith("[proc")]
-        print(line[-1] if line else f"[proc {i}] FAILED:\n{o[-800:]}")
-        if line:
-            losses.append(line[-1].rsplit("=", 1)[-1])
-    if ok and len(set(losses)) == 1:
-        print(f"multihost demo OK: {args.num_processes} processes agree on loss {losses[0]}")
+        lines = [l for l in o.splitlines() if l.startswith("[proc")]
+        for l in lines:
+            print(l)
+        if not lines:
+            print(f"[proc {i}] FAILED:\n{o[-1200:]}")
+        for l in lines:
+            for ph in phases:
+                if f" phase={ph} " in l:
+                    phases[ph].append(l.split("loss_final=")[-1].split()[0]
+                                      if "loss_final=" in l else l.split()[-1])
+    complete = all(len(v) == args.num_processes for v in phases.values())
+    agree = all(len(set(v)) == 1 for ph, v in phases.items() if ph != "packed")
+    if ok and complete and agree:
+        print(f"multihost demo OK: {args.num_processes} processes, agents axis "
+              f"across the process boundary (packed ppermute + GSPMD flagship), "
+              f"losses agree")
         return 0
     print("multihost demo FAILED")
     return 1

@@ -7,7 +7,8 @@ the solver lock — cli/serve.py). This measures what VERDICT round-1 item 8
 asked for: tail latency when a second (…Nth) client does NOT queue behind the
 first's socket, only behind the chip.
 
-Usage: python serving_burst_harness.py <run_dir> <label> [n_clients] [B] [json|binary]
+Usage: python serving_burst_harness.py <run_dir> <label> [n_clients] [B]
+       [json|binary] [max_batch]
 Run from the repo root. Produced the PARITY.md concurrent-load rows (the binary
 mode drives the DBF1 frame protocol — cli/serve.py module docstring).
 """
@@ -24,11 +25,12 @@ run_dir, tier = sys.argv[1], sys.argv[2]
 N_CLIENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 B = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 MODE = sys.argv[5] if len(sys.argv) > 5 else "json"
+MAX_BATCH = int(sys.argv[6]) if len(sys.argv) > 6 else 32
 WINDOW_S = 20.0
 
 proc = subprocess.Popen(
     [sys.executable, "-m", "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
-     run_dir, "--device", "tpu", "--port", "0", "--max_batch", "32",
+     run_dir, "--device", "tpu", "--port", "0", "--max_batch", str(MAX_BATCH),
      "--compile_cache", os.path.join(REPO, ".xla_cache")],
     stdout=subprocess.PIPE, text=True, cwd=REPO)
 t0 = time.time()
@@ -48,14 +50,19 @@ P, m = ready["P"], ready["m"]
 # Warm every pad path once on a single connection before the burst.
 s = socket.create_connection((ready["host"], ready["port"])); f = s.makefile("rw")
 rng = np.random.default_rng(0)
-for warm_b in (1, B, 32):
+for warm_b in (1, B, MAX_BATCH):
     f.write(json.dumps({"b": rng.standard_normal((warm_b, P, m)).tolist()}) + "\n")
     f.flush()
     assert "y_hat" in json.loads(f.readline())
 f.close(); s.close()
 
+# Clock discipline (r2 advisor): the window starts at barrier RELEASE (client 0
+# records both start and deadline after the barrier — connect/thread-start cost is
+# excluded), and the throughput denominator runs to the LAST completion, so the
+# in-flight requests that finish past the deadline are in both numerator and
+# denominator instead of biasing the rate up.
 barrier = threading.Barrier(N_CLIENTS)
-stop_at = [0.0]
+window = [0.0, 0.0]  # [start, stop_at], set by client 0 at barrier release
 results = [None] * N_CLIENTS
 
 def client(i):
@@ -67,10 +74,11 @@ def client(i):
     lats, n = [], 0
     barrier.wait()
     if i == 0:
-        stop_at[0] = time.perf_counter() + WINDOW_S
-    while stop_at[0] == 0.0:
+        now = time.perf_counter()
+        window[0], window[1] = now, now + WINDOW_S
+    while window[1] == 0.0:
         time.sleep(0.001)
-    while time.perf_counter() < stop_at[0]:
+    while time.perf_counter() < window[1]:
         t = time.perf_counter()
         if MODE == "binary":
             y_hat = binary_solve(fi, fi, b_arr)
@@ -81,24 +89,23 @@ def client(i):
             assert "y_hat" in resp, resp
         lats.append((time.perf_counter() - t) * 1e3)
         n += 1
-    results[i] = (n, lats)
+    results[i] = (n, lats, time.perf_counter())
     fi.close(); si.close()
 
 threads = [threading.Thread(target=client, args=(i,)) for i in range(N_CLIENTS)]
-t_start = time.perf_counter()
 for t in threads: t.start()
 for t in threads: t.join()
-wall = max(time.perf_counter() - t_start, WINDOW_S)
+wall = max(r[2] for r in results) - window[0]
 
 all_lats = np.concatenate([np.asarray(r[1]) for r in results])
 total_reqs = sum(r[0] for r in results)
 p50, p99 = np.percentile(all_lats, [50, 99])
 print(json.dumps({
     "tier": tier, "mode": MODE, "n_clients": N_CLIENTS, "B": B,
-    "total_requests": int(total_reqs),
+    "max_batch": MAX_BATCH, "total_requests": int(total_reqs),
     "p50_ms": round(float(p50), 1), "p99_ms": round(float(p99), 1),
     "aggregate_solves_per_s": round(total_reqs * B / wall, 1),
-    "window_s": WINDOW_S,
+    "window_s": WINDOW_S, "wall_s": round(wall, 2),
 }))
 
 s2 = socket.create_connection((ready["host"], ready["port"])); f2 = s2.makefile("rw")

@@ -1,6 +1,9 @@
 """Multi-process (multi-host-style) training: 2 jax.distributed processes with gloo
-CPU collectives run the GSPMD step and agree on the loss. Subprocess-based — exercises
-the REAL multi-controller path, not the single-process virtual mesh."""
+CPU collectives run (1) the data-parallel GSPMD step, (2) the packed ppermute unroll
+with the AGENTS axis spanning the process boundary (DCN-crossing consensus), and
+(3) the GSPMD flagship train step on the same transposed mesh — and agree on the
+losses / match the dense single-device reference. Subprocess-based — exercises the
+REAL multi-controller path, not the single-process virtual mesh."""
 
 import os
 import socket
@@ -35,3 +38,6 @@ def test_two_process_training_agrees():
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "multihost demo OK" in r.stdout
+    # the north-star proof lines: consensus collectives crossed the process boundary
+    assert "phase=packed agents_procs=[0, 1]" in r.stdout
+    assert "phase=flagship agents_procs=[0, 1]" in r.stdout
