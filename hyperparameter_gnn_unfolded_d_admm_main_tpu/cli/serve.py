@@ -9,7 +9,13 @@ TCP socket:
 
     dadmm-serve <run_dir> [--port 8763] [--host 127.0.0.1] [--max_batch 32]
                 [--ckpt best] [--device tpu] [--dtype bfloat16]
-                [--gram_mode factored]
+                [--gram_mode factored] [--mesh_data D] [--mesh_agents A]
+
+`--mesh_data/--mesh_agents` (mirroring `cli.evaluate`) run the compiled solve over a
+(data, agents) device mesh: batch shards over `data`, agents + consensus collectives
+over `agents` (unfolded family: shard_map'd unroll; flagship GNN: packed-ring
+agent-sharded forward, data-parallel GSPMD for other GNN tiers). Hot reload keeps
+working in every mesh mode (the tree stays a jit argument).
 
 Request (one JSON object per line):
     {"b": [[...m floats...] x P]}                 one sample, or
@@ -61,14 +67,16 @@ BIN_ERR_MAGIC = b"DBE1"
 
 
 def _read_exact(rfile, n: int) -> bytes:
-    """Read exactly n bytes from a buffered file object (b"" only at clean EOF)."""
-    data = b""
+    """Read exactly n bytes from a buffered file object (b"" only at clean EOF;
+    a torn frame surfaces as a short read). bytearray accumulation: frames run up
+    to max_request_bytes (64MB), where bytes += would go quadratic."""
+    data = bytearray()
     while len(data) < n:
         chunk = rfile.read(n - len(data))
         if not chunk:
-            return b"" if not data else data  # torn frame surfaces as short read
+            break
         data += chunk
-    return data
+    return bytes(data)
 
 
 def binary_solve(rfile, wfile, b_np):
@@ -91,6 +99,10 @@ def binary_solve(rfile, wfile, b_np):
         raise RuntimeError(f"bad response magic {magic!r}")
     B_out, n = struct.unpack("<II", _read_exact(rfile, 8))
     payload = _read_exact(rfile, B_out * n * 4)
+    if len(payload) != B_out * n * 4:
+        raise RuntimeError(
+            f"truncated response / connection closed: got {len(payload)} of "
+            f"{B_out * n * 4} payload bytes")
     return np.frombuffer(payload, "<f4").reshape(B_out, n)
 
 
@@ -115,6 +127,7 @@ class _Solver:
             cfg = cfg.replace(**{k: v})
         self.cfg = cfg
         self.max_batch = max_batch
+        self._mesh_agent_sharded = False
         # Family dispatch mirrors cli.evaluate: args.json's `case` (recorded by the
         # dlr loop), with the directory-name suffix as a fallback for run dirs saved
         # before `case` was recorded.
@@ -130,6 +143,16 @@ class _Solver:
             return
         A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
         self.P, self.m, self.n = A.shape
+        # Mesh-sharded serving (--mesh_data/--mesh_agents, mirroring cli.evaluate):
+        # the compiled solve runs over a (data, agents) device mesh — batch shards
+        # over `data`, the P agents (and the consensus collectives) over `agents`.
+        n_mesh = cfg.mesh_data * cfg.mesh_agents
+        if n_mesh > 1:
+            if max_batch % cfg.mesh_data or self.P % cfg.mesh_agents:
+                raise SystemExit(
+                    f"sharded serving needs max_batch ({max_batch}) divisible by "
+                    f"mesh_data ({cfg.mesh_data}) and P ({self.P}) divisible by "
+                    f"mesh_agents ({cfg.mesh_agents})")
 
         # GNN-family detection mirrors cli.evaluate: recorded tier in args.json,
         # directory-name suffix as fallback for runs saved before hyp_mode recording
@@ -144,27 +167,104 @@ class _Solver:
             params, norm_state = model.init(jax.random.key(0))
             self._tree_template = {"params": params, "norm_state": norm_state}
             self._tree = self._restore(ckpt_name)
+            # GNN runs train on fresh per-sample graphs; default serving topology
+            # likewise (deterministic seed — override per request via "adj").
+            self.default_adj = np.asarray(graphs.fast_sample_connected_er(
+                int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, getattr(cfg, 'graph_prob_floor', 0.3))))
             # The checkpoint tree is a jit ARGUMENT, not a closure constant, so
             # `{"cmd": "reload"}` can hot-swap weights without recompiling (same
             # shapes/dtypes => same compiled executable). Serving consumes only the
             # final iterate; slicing inside the jit lets XLA dead-code-eliminate
             # the stacked-Y materialization.
-            self._fn = jax.jit(lambda tree, k, b, adj: model.apply(
-                tree["params"], tree["norm_state"], k, b, adj, training=False).Y[-1])
-            # GNN runs train on fresh per-sample graphs; default serving topology
-            # likewise (deterministic seed — override per request via "adj").
-            self.default_adj = np.asarray(graphs.fast_sample_connected_er(
-                int(cfg.seed) + 7, max_batch, cfg.P, max(cfg.graph_prob, getattr(cfg, 'graph_prob_floor', 0.3))))
+            if n_mesh > 1 and cfg.mesh_agents > 1:
+                # Agent-sharded flagship serving: packed-ring GCN + nodewise head
+                # (parallel/gnn_sharded.py). Topology is packed host-side once at
+                # startup, so per-request "adj" overrides are rejected in this mode.
+                if (cfg.hyp_mode not in ("GHyp",) or cfg.encoder_type != "gcn"
+                        or cfg.decoder_type != "nodewise"):
+                    raise SystemExit(
+                        "--mesh_agents > 1 for the GNN family needs the flagship "
+                        "tier with encoder_type=gcn decoder_type=nodewise "
+                        "(parallel/gnn_sharded.py); other tiers/heads consume "
+                        "global tensors — use --mesh_data N --mesh_agents 1")
+                from ..models import dadmm_core
+                from ..parallel import gnn_sharded, mesh as mesh_lib
+
+                mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_agents)
+                topo = gnn_sharded.ShardedGNNTopology(
+                    self.default_adj, num_shards=cfg.mesh_agents)
+                fwd = gnn_sharded.make_sharded_gnn_forward(mesh, model, _raw=True)
+                self._mesh_agent_sharded = True
+
+                def _gnn_sharded_fn(tree, k, b, adj):
+                    del adj  # fixed packed topology (validated in solve())
+                    k_init, _ = jax.random.split(k)
+                    st0 = dadmm_core.init_state(
+                        k_init, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
+                    Y, _ = fwd(tree["params"], tree["norm_state"], st0, k, b,
+                               topo.tree())
+                    return Y[-1]
+
+                self._fn = jax.jit(_gnn_sharded_fn)
+            elif n_mesh > 1:
+                # Data-parallel GNN serving: eval-mode forward is purely per-sample
+                # (running stats, no dropout), so GSPMD shards the batch cleanly.
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import mesh as mesh_lib
+
+                mesh = mesh_lib.make_mesh(cfg.mesh_data, 1)
+                dp = NamedSharding(mesh, PartitionSpec(mesh_lib.DATA_AXIS))
+                repl = NamedSharding(mesh, PartitionSpec())
+                self._fn = jax.jit(
+                    lambda tree, k, b, adj: model.apply(
+                        tree["params"], tree["norm_state"], k, b, adj,
+                        training=False).Y[-1],
+                    in_shardings=(repl, repl, dp, dp))
+            else:
+                self._fn = jax.jit(lambda tree, k, b, adj: model.apply(
+                    tree["params"], tree["norm_state"], k, b, adj, training=False).Y[-1])
         else:
             model = UnfoldedDLASSO(A, cfg)
             params = model.init()
             self._tree_template = {"params": params}
             self._tree = self._restore(ckpt_name)
-            # final-iterate-only unroll: no per-iteration Y snapshot write
-            # (measured +26% serving throughput at the P=64 headline shape);
-            # tree as jit argument => hot reload without recompile
-            self._fn = jax.jit(lambda tree, k, b, adj: model.apply_final(
-                tree["params"], k, b, adj, training=False))
+            if n_mesh > 1:
+                # Mesh-sharded unfolded serving: shard_map'd unroll with collective
+                # consensus over (data, agents) — the table is derived from the
+                # tree INSIDE the jit so hot reload still works.
+                from ..models import dadmm_core, seq_hyperparam
+                from ..ops import sensing
+                from ..parallel import mesh as mesh_lib, unfolded_sharded
+
+                mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_agents)
+                factored = cfg.gram_mode == "factored" or (
+                    cfg.gram_mode == "auto" and 2 * cfg.m < cfg.n)
+                unroll = unfolded_sharded.make_sharded_unroll(
+                    mesh,
+                    gram_mode="factored" if factored else "gram",
+                    nan_guard=cfg.nan_guard,
+                    remat=False,  # serving: no backward pass to rematerialize for
+                    solver_dtype=cfg.dtype if cfg.dtype != "float32" else None,
+                )
+                op = A if factored else model.AtA
+                K = int(cfg.GHN_iter_num)
+
+                def _sharded_fn(tree, k, b, adj):
+                    table = seq_hyperparam.hyp_table(
+                        tree["params"]["seq_hyp"], model.max_param, training=False)
+                    table = jnp.broadcast_to(table, (K, cfg.P, 4))
+                    st0 = dadmm_core.init_state(
+                        k, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
+                    Y = unroll(st0, table, op, sensing.At_apply(A, b), adj)
+                    return Y[-1]
+
+                self._fn = jax.jit(_sharded_fn)
+            else:
+                # final-iterate-only unroll: no per-iteration Y snapshot write
+                # (measured +26% serving throughput at the P=64 headline shape);
+                # tree as jit argument => hot reload without recompile
+                self._fn = jax.jit(lambda tree, k, b, adj: model.apply_final(
+                    tree["params"], k, b, adj, training=False))
             gp = os.path.join(run_dir, "graph.npy")
             if os.path.exists(gp):  # imported/recovered topology (cli.import_torch)
                 one = np.load(gp)
@@ -361,6 +461,10 @@ class _Solver:
         B = b_np.shape[0]
         if b_np.shape[1:] != (self.P, self.m):
             raise ValueError(f"b must be [B,{self.P},{self.m}], got {list(b_np.shape)}")
+        if adj_np is not None and self._mesh_agent_sharded:
+            raise ValueError(
+                "agent-sharded serving packs the topology once at startup; "
+                "per-request adj overrides need --mesh_agents 1")
         adj_np = self._validated_adj(adj_np, B)
         out = []
         with self._lock:
@@ -486,14 +590,17 @@ def main(argv=None):
     if not argv:
         print("usage: serve <run_dir> [--port 8763] [--host 127.0.0.1] "
               "[--max_batch 32] [--ckpt best] [--device tpu] [--dtype bfloat16] "
-              "[--gram_mode factored] [--compile_cache DIR] [--max_request_mb 64]")
+              "[--gram_mode factored] [--mesh_data D] [--mesh_agents A] "
+              "[--compile_cache DIR] [--max_request_mb 64]")
         return
     run_dir = argv[0]
     opts = dict(zip(argv[1::2], argv[2::2]))
 
     from ..utils.platform import enable_compile_cache, select_device
 
-    select_device(opts.get("--device", "tpu"))
+    n_mesh = int(opts.get("--mesh_data", 1)) * int(opts.get("--mesh_agents", 1))
+    select_device(opts.get("--device", "tpu"),
+                  host_device_count=n_mesh if n_mesh > 1 else None)
     if "--compile_cache" in opts:
         # Persistent XLA compilation cache: restarting the daemon reuses the compiled
         # executable instead of paying the 20-40s (sometimes minutes, through the
@@ -504,6 +611,10 @@ def main(argv=None):
         overrides["dtype"] = opts["--dtype"]
     if "--gram_mode" in opts:
         overrides["gram_mode"] = opts["--gram_mode"]
+    if "--mesh_data" in opts:
+        overrides["mesh_data"] = int(opts["--mesh_data"])
+    if "--mesh_agents" in opts:
+        overrides["mesh_agents"] = int(opts["--mesh_agents"])
     solver = _Solver(run_dir, opts.get("--ckpt", "best"),
                      int(opts.get("--max_batch", 32)), overrides)
 

@@ -355,10 +355,12 @@ class DLRGNNHypOneShot:
             table = table * scale[..., None, None]
         return jnp.clip(table, 1e-4, 0.99)
 
-    def make_step_fn(self, params: dict):
+    def make_step_fn(self, params: dict, agent_axis: Optional[str] = None):
         """Per-iteration hyperparameter hook for unroll_table; the plain one-shot
         tier has none (the corrected tier overrides this). Public so the serving
-        path drives the exact same unroll as training/evaluate."""
+        path drives the exact same unroll as training/evaluate. `agent_axis` names
+        the mesh axis the P agents shard over when the hook runs inside shard_map
+        (the corrected tier's 'same'-mode pooling must then be a collective)."""
         return None
 
     def apply_losses(
@@ -412,7 +414,7 @@ class DLRGNNHypOneShotCorrected(DLRGNNHypOneShot):
         }
         return params
 
-    def make_step_fn(self, params: dict):
+    def make_step_fn(self, params: dict, agent_axis: Optional[str] = None):
         from ..ops import gcn
 
         c = params["corr"]
@@ -427,6 +429,10 @@ class DLRGNNHypOneShotCorrected(DLRGNNHypOneShot):
             raw = gcn.leaky_relu(feats @ c["w1"] + c["b1"]) @ c["w2"] + c["b2"]
             if self.Pp == 1:
                 raw = jnp.mean(raw, axis=1, keepdims=True)  # 'same': shared factor
+                if agent_axis is not None:
+                    # inside shard_map the local mean covers only this shard's
+                    # agent rows; pmean over the axis makes it the global mean
+                    raw = jax.lax.pmean(raw, agent_axis)
             factor = 1.0 + self.CORR_SCALE * jnp.tanh(raw)   # [B, P|1, 6]
             return jnp.clip(hyp_k.astype(factor.dtype) * factor, 1e-4, 0.99)
 

@@ -227,6 +227,86 @@ def make_sharded_unroll_packed(
     return jax.jit(shard_fn)
 
 
+def make_sharded_dlr_ghyp_unroll(
+    mesh: Mesh,
+    model,
+    schedule: str = "allgather",
+    remat: bool = True,
+):
+    """Agent/data-sharded one-shot dlr hypernetwork tiers (GHyp1 / GHyp1c —
+    `models/unfolded_dlr.py:DLRGNNHypOneShot[Corrected]`).
+
+    The one-shot table is a SINGLE tiny GNN evaluation over [B, P, h] features
+    (O(B*P*h) — never solver-state-sized), so it runs densely replicated; the
+    K-iteration unroll, where all the state and FLOPs live, runs shard_map'd with
+    collective neighbor sums. GHyp1c's per-iteration corrector is per-agent local
+    and runs inside the shard ('same' mode pools via pmean over the agent axis —
+    `make_step_fn(agent_axis=...)`).
+
+    Why the state-conditioned DLRGNNHyp tier is NOT here: its decoder is the
+    reference-faithful flattened head (out_dim = 6*P from a pooled feature vector,
+    `models/unfolded_dlr.py:DLRGNNHyp.__init__`), which consumes a global tensor
+    every iteration — the same reason the dlasso flagship only agent-shards with
+    `decoder_type='nodewise'` (`parallel/gnn_sharded.py`). It data-shards via GSPMD.
+
+    Returns a jitted `(params, key, x, y, adj, training=False) ->
+    (final DLRState, per_kp [K, P])` matching `model.apply_losses` semantics.
+    """
+    from ..models import unfolded_dlr
+
+    n_agent_shards = mesh.shape[AGENT_AXIS]
+    if schedule == "allgather":
+        nsum = consensus_lib.neighbor_sum_allgather
+    elif schedule == "ppermute":
+        nsum = functools.partial(
+            consensus_lib.neighbor_sum_ppermute, num_shards=n_agent_shards
+        )
+    else:
+        raise ValueError(f"unknown consensus schedule {schedule!r}")
+
+    state_spec = unfolded_dlr.DLRState(
+        a=P(DATA_AXIS, AGENT_AXIS), w=P(DATA_AXIS, AGENT_AXIS),
+        mu=P(DATA_AXIS, AGENT_AXIS), lamda=P(DATA_AXIS, AGENT_AXIS),
+    )
+    # per-sample table [B, K, Pp, 6]: 'same' mode has Pp=1 (replicated over agents)
+    table_spec = (P(DATA_AXIS, None, None) if model.Pp == 1
+                  else P(DATA_AXIS, None, AGENT_AXIS))
+    agent_axis = AGENT_AXIS if n_agent_shards > 1 else None
+
+    def local_unroll(params, state, table, x, y, adj_rows):
+        st, per_kp = unfolded_dlr.unroll_table(
+            state, table, x, y, adj_rows, remat=remat,
+            neighbor_fn=lambda v: nsum(adj_rows, v),
+            step_hyp_fn=model.make_step_fn(params, agent_axis=agent_axis),
+        )
+        per_kp = lax.pmean(per_kp, DATA_AXIS)
+        per_kp = lax.all_gather(per_kp, AGENT_AXIS, axis=1)    # [K, s, Pl]
+        return st, per_kp.reshape(per_kp.shape[0], -1)         # [K, P]
+
+    shard_fn = jax.shard_map(
+        local_unroll,
+        mesh=mesh,
+        in_specs=(
+            P(),                             # params (replicated; corrector weights)
+            state_spec,
+            table_spec,
+            P(DATA_AXIS, AGENT_AXIS),        # x [B, P, d]
+            P(DATA_AXIS, AGENT_AXIS),        # y [B, P, 1]
+            P(DATA_AXIS, AGENT_AXIS, None),  # adj rows
+        ),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+
+    def run(params, key, x, y, adj, training=False):
+        table = model.table(params, x, y, adj, training=training)  # [B, K, Pp, 6]
+        st0 = unfolded_dlr.init_state(key, x.shape[0], model.P, model.d,
+                                      dtype=x.dtype)
+        return shard_fn(params, st0, table, x, y, adj)
+
+    return jax.jit(run, static_argnames="training")
+
+
 def make_sharded_dlr_unroll(
     mesh: Mesh,
     schedule: str = "allgather",

@@ -1,11 +1,14 @@
 """CLI drivers end-to-end at tiny configs (CPU), compare tool, config round-trips."""
 
+import pytest
 import os
 
 import numpy as np
 
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli import compare
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config, args_parser
+
+pytestmark = [pytest.mark.slow]
 
 
 def test_args_parser_reference_flags():

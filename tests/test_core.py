@@ -2,6 +2,7 @@
 the reference iteration math, seq-hyperparam table semantics, loss functions."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -103,6 +104,7 @@ def test_nan_guard_resets_state(rng):
     assert bool(jnp.all(jnp.isfinite(Y)))
 
 
+@pytest.mark.slow
 def test_unfolded_model_end_to_end(rng):
     cfg = Config(P=4, m=12, n=16, GHN_iter_num=5, batch_size=2, DADMM_mode="diff")
     A = sensing.set_A(jax.random.key(0), cfg.P, cfg.m, cfg.n)
@@ -346,6 +348,7 @@ def test_unfolded_dlr_trains(tmp_path):
     assert res["best_valid_loss"] < first, (res["best_valid_loss"], first)
 
 
+@pytest.mark.slow
 def test_dlr_gnn_hypernetwork_trains(tmp_path):
     """GHyp tier on the dlr family: the state-conditioned hypernetwork reduces
     validation loss end-to-end (cli driver with --hyp_mode GHyp), and evaluate
@@ -368,6 +371,7 @@ def test_dlr_gnn_hypernetwork_trains(tmp_path):
     assert np.isfinite(out["loss_curve"]).all()
 
 
+@pytest.mark.slow
 def test_dlr_oneshot_corrected_starts_at_oneshot_and_trains(tmp_path):
     """GHyp1c dlr tier: (a) with the zero-init correction head it is EXACTLY GHyp1
     at init (tanh(0)=0 => factor 1.0); (b) it trains end-to-end through the CLI and

@@ -59,6 +59,7 @@ def test_split_loader_and_meta_check(tmp_path):
         datastore.load_simulated_split(path, 36, 8, pool_cap=40)  # overlap
 
 
+@pytest.mark.slow
 def test_training_from_pool_is_reproducible(rng, tmp_path):
     """Two trainer runs from the same saved pool produce identical loss curves."""
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.train.loop import train_unfolded

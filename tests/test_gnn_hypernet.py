@@ -12,6 +12,8 @@ from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import gcn, graphs, sensing
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses
 
+pytestmark = [pytest.mark.slow]
+
 
 def _setup(rng, P=4, m=10, n=12, hidden=8, B=3, K=4, mode="diff"):
     cfg = Config(P=P, m=m, n=n, GHyp_hidden=hidden, GHN_iter_num=K, DADMM_mode=mode)

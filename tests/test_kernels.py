@@ -41,6 +41,7 @@ def test_fused_primal_fallback_on_unaligned_shapes(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_primal_gradients(rng):
     args = _inputs(rng, B=8, P=2, n=128)
 

@@ -9,6 +9,8 @@ from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
 
+pytestmark = [pytest.mark.slow, pytest.mark.mesh]
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh")
 def test_gnn_trainer_on_mesh(tmp_path):

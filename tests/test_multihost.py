@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = [pytest.mark.slow]
+
 
 def _free_port() -> int:
     s = socket.socket()

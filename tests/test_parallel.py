@@ -90,6 +90,7 @@ def test_sharded_unroll_matches_dense(rng, schedule):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gspmd_train_step_runs_and_matches_unsharded(rng):
     mesh = _mesh(data=2, agents=4)
     cfg = Config(P=8, m=6, n=12, GHyp_hidden=4, GHN_iter_num=2, batch_size=4, lr=1e-3)
@@ -181,6 +182,43 @@ def test_sharded_dlr_unroll_matches_dense(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("tier", ["GHyp1", "GHyp1c"])
+@pytest.mark.parametrize("mode", ["diff", "same"])
+@pytest.mark.slow
+def test_sharded_dlr_ghyp_tiers_match_dense(rng, tier, mode):
+    """Agent/data-sharded one-shot dlr hypernetwork tiers: the dense-table +
+    sharded-unroll pipeline (GHyp1c corrector running inside the shard, 'same'
+    mode pooling via pmean) reproduces the dense `apply_losses`."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import unfolded_dlr
+
+    mesh = _mesh(data=2, agents=4)
+    B, Pn, d, K = 4, 8, 6, 3
+    cfg = Config(P=Pn, m=d, n=d, GHyp_hidden=4, GHN_iter_num=K, DADMM_mode=mode)
+    cls = {"GHyp1": unfolded_dlr.DLRGNNHypOneShot,
+           "GHyp1c": unfolded_dlr.DLRGNNHypOneShotCorrected}[tier]
+    model = cls(Pn, d, cfg)
+    params = model.init()
+    if tier == "GHyp1c":
+        # zero-init corrector == GHyp1; perturb so the hook actually does work
+        params["corr"]["w2"] = 0.1 * jnp.asarray(
+            rng.standard_normal(params["corr"]["w2"].shape).astype(np.float32))
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, Pn, 0.5))
+    x = jnp.asarray(rng.standard_normal((B, Pn, d)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, Pn, 1)).astype(np.float32))
+    key = jax.random.key(3)
+
+    per_dense, _ = model.apply_losses(params, key, x, y, adj, training=False)
+
+    for schedule in ("allgather", "ppermute"):
+        run = unfolded_sharded.make_sharded_dlr_ghyp_unroll(
+            mesh, model, schedule=schedule)
+        st_sh, per_sh = run(params, key, x, y, adj, training=False)
+        assert st_sh.a.shape == (B, Pn, d)
+        np.testing.assert_allclose(np.asarray(per_sh), np.asarray(per_dense),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_gspmd_masked_k_matches_static(rng):
     """Sharded masked-K step (one compiled program, traced K) must produce the same
     loss as the sharded static-K step for a truncated K."""

@@ -318,6 +318,57 @@ def test_serve_max_request_size_guard():
             proc.wait(timeout=30)
 
 
+@pytest.mark.parametrize("mesh_data,mesh_agents", [(1, 5), (2, 1)])
+def test_serve_mesh_sharded_matches_dense(mesh_data, mesh_agents):
+    """--mesh_data/--mesh_agents serving: the shard_map'd unroll (agent axis with
+    collective consensus, or the data axis) returns the same solutions as the
+    dense single-device server, and hot reload keeps working on the mesh."""
+    def start(extra):
+        proc = subprocess.Popen(
+            [sys.executable, "-m",
+             "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+             RUN, "--device", "cpu", "--port", "0", "--max_batch", "2"] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+        )
+        return proc, json.loads(proc.stdout.readline())
+
+    A = np.load(os.path.join(RUN, "A.npy"))
+    rng = np.random.default_rng(5)
+    B = 3  # > max_batch: chunking + padding through the sharded path
+    ys = 2.0 * rng.standard_normal((B, 500)) * (rng.random((B, 500)) <= 0.25)
+    bs = np.einsum("pmn,bn->bpm", A, ys)
+
+    dense_p, dense_r = start([])
+    mesh_p, mesh_r = start(["--mesh_data", str(mesh_data),
+                            "--mesh_agents", str(mesh_agents)])
+    try:
+        dense_cli = Client(dense_r["host"], dense_r["port"])
+        mesh_cli = Client(mesh_r["host"], mesh_r["port"])
+        want = np.asarray(dense_cli.call({"b": bs.tolist()})["y_hat"])
+        got = np.asarray(mesh_cli.call({"b": bs.tolist()})["y_hat"])
+        # atol 1e-3 not 1e-5: K=25 iterations through sign() amplify
+        # cross-compilation rounding at near-zero coordinates (measured max
+        # 3e-5); the solution-level NMSE check below is the real gate.
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+        nm_want = np.sum((want - ys) ** 2) / np.sum(ys ** 2)
+        nm_got = np.sum((got - ys) ** 2) / np.sum(ys ** 2)
+        assert abs(nm_got - nm_want) < 1e-3 * max(nm_want, 1e-6), (nm_got, nm_want)
+        r = mesh_cli.call({"cmd": "reload"})
+        assert r["ok"]
+        got2 = np.asarray(mesh_cli.call({"b": bs.tolist()})["y_hat"])
+        np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-3)
+        for cli in (dense_cli, mesh_cli):
+            assert cli.call({"cmd": "shutdown"})["shutdown"]
+        dense_p.wait(timeout=60)
+        mesh_p.wait(timeout=60)
+    finally:
+        for proc in (dense_p, mesh_p):
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=30)
+
+
 def test_serve_hot_reload():
     """{"cmd": "reload"} hot-swaps checkpoint weights without restart or
     recompile; solves before and after agree (same checkpoint re-read), and a

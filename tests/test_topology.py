@@ -1,6 +1,7 @@
 """Packed neighbor-list topology: dense equivalence at small and pod scale, GCN
 aggregation parity, and the sharded ring schedule on the virtual mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -102,6 +103,7 @@ def test_ring_packed_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unroll_table_packed_matches_dense(rng):
     """Single-device unroll with packed topology (topo=) reproduces the dense
     trajectory — the pod-scale consensus drop-in for the solver core."""

@@ -1,3 +1,4 @@
+import pytest
 """Training harness: schedules, optimizer plumbing, short end-to-end runs of both
 trainers (tiny configs), checkpoint resume."""
 
@@ -9,6 +10,8 @@ import jax
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop, optim, schedule
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils import checkpoint as ckpt
+
+pytestmark = [pytest.mark.slow]
 
 
 def test_progressive_schedule_matches_reference_formula():

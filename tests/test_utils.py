@@ -1,5 +1,6 @@
 """Utility surfaces: profiling timers, CSV logger, checkpoint round-trips."""
 
+import pytest
 import os
 
 import numpy as np
@@ -113,6 +114,7 @@ def test_checkpoint_detects_meta_state_skew(tmp_path, capsys):
     assert "does not match state.msgpack" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_training_runs_emit_pngs(tmp_path):
     """Reference drivers save per-run PNGs (losses.png, training_summary.png,
     iteration_progression.png); both loops must too (when matplotlib is present)."""
