@@ -28,23 +28,37 @@ MODE = sys.argv[5] if len(sys.argv) > 5 else "json"
 MAX_BATCH = int(sys.argv[6]) if len(sys.argv) > 6 else 32
 WINDOW_S = 20.0
 
-proc = subprocess.Popen(
-    [sys.executable, "-m", "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
-     run_dir, "--device", "tpu", "--port", "0", "--max_batch", str(MAX_BATCH),
-     "--compile_cache", os.path.join(REPO, ".xla_cache")],
-    stdout=subprocess.PIPE, text=True, cwd=REPO)
-t0 = time.time()
-sel = selectors.DefaultSelector()
-sel.register(proc.stdout, selectors.EVENT_READ)
-if not sel.select(timeout=READY_TIMEOUT_S):
-    proc.kill()
-    sys.exit(f"server produced no readiness line within {READY_TIMEOUT_S}s")
-line = proc.stdout.readline()
-if not line:
-    sys.exit(f"server exited before readiness (code {proc.wait()})")
-ready = json.loads(line)
-print(f"[{tier}] ready in {time.time()-t0:.1f}s: P={ready['P']} m={ready['m']} "
-      f"K={ready['K']}", file=sys.stderr)
+# BURST_CONNECT="host:port": drive an ALREADY-RUNNING daemon instead of spawning
+# one (server starts through the remote tunnel are minutes-slow and serialize on
+# the device lease — one server, many load points is the efficient grid shape).
+_connect = os.environ.get("BURST_CONNECT", "")
+proc = None
+if _connect:
+    host, _, port = _connect.rpartition(":")
+    s0 = socket.create_connection((host, int(port)), timeout=60)
+    f0 = s0.makefile("rw")
+    f0.write(json.dumps({"cmd": "ping"}) + "\n"); f0.flush()
+    pong = json.loads(f0.readline())
+    f0.close(); s0.close()
+    ready = {"host": host, "port": int(port), **pong}
+else:
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         run_dir, "--device", "tpu", "--port", "0", "--max_batch", str(MAX_BATCH),
+         "--compile_cache", os.path.join(REPO, ".xla_cache")],
+        stdout=subprocess.PIPE, text=True, cwd=REPO)
+    t0 = time.time()
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    if not sel.select(timeout=READY_TIMEOUT_S):
+        proc.kill()
+        sys.exit(f"server produced no readiness line within {READY_TIMEOUT_S}s")
+    line = proc.stdout.readline()
+    if not line:
+        sys.exit(f"server exited before readiness (code {proc.wait()})")
+    ready = json.loads(line)
+    print(f"[{tier}] ready in {time.time()-t0:.1f}s: P={ready['P']} m={ready['m']} "
+          f"K={ready['K']}", file=sys.stderr)
 P, m = ready["P"], ready["m"]
 
 # Warm every pad path once on a single connection before the burst.
@@ -108,6 +122,7 @@ print(json.dumps({
     "window_s": WINDOW_S, "wall_s": round(wall, 2),
 }))
 
-s2 = socket.create_connection((ready["host"], ready["port"])); f2 = s2.makefile("rw")
-f2.write(json.dumps({"cmd": "shutdown"}) + "\n"); f2.flush()
-proc.wait(timeout=60)
+if proc is not None:  # leave a BURST_CONNECT server running for the next load point
+    s2 = socket.create_connection((ready["host"], ready["port"])); f2 = s2.makefile("rw")
+    f2.write(json.dumps({"cmd": "shutdown"}) + "\n"); f2.flush()
+    proc.wait(timeout=60)
