@@ -184,6 +184,25 @@ def bench_tpu():
     except Exception as e:  # noqa: BLE001
         print(f"variant final failed: {e}", file=sys.stderr, flush=True)
 
+    # Round-3 headline candidate: bf16 MATMUL operands on top of the bf16-state
+    # final unroll (+3% measured). Quality-gated like the state cast: NMSE delta
+    # vs f32 on the golden imported checkpoint is 0.002%
+    # (tests/test_core.py::test_bf16_full_serving_quality_gate).
+    try:
+        fin2 = jax.jit(lambda st, tb: dadmm_core.unroll_table_final(
+            st, tb, None, Atb, adj, nan_guard=False, A=A,
+            gram_mode="factored", solver_dtype="bfloat16",
+            matmul_dtype="bfloat16"))
+        print("compiling xla_bf16_state_factored_final_bf16mm...",
+              file=sys.stderr, flush=True)
+        y_fin2 = fin2(state, table)
+        jax.block_until_ready(y_fin2)
+        variants["xla_bf16_state_factored_final_bf16mm"] = time_loop(
+            fin2, (state, table), 2 * B * P * N,
+            "xla_bf16_state_factored_final_bf16mm")
+    except Exception as e:  # noqa: BLE001
+        print(f"variant final_bf16mm failed: {e}", file=sys.stderr, flush=True)
+
     # Training step (value+grad through the K-scan with in-scan loss reduction) at
     # the headline shape — the production training path, not just the forward unroll.
     # Runs IMMEDIATELY after the headline so a budget overrun can only cost the

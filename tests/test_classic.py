@@ -1,6 +1,7 @@
 """Classic color-sweep solvers: parity against a literal numpy restatement of the
 reference Gauss-Seidel iteration (`models.py:376-440` semantics, small shapes)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -95,6 +96,7 @@ def test_frozen_prefix_blocks_gradient(rng):
     assert float(jnp.abs(gs).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_classic_lr_runs_and_learns(rng):
     P, B, d, K = 4, 3, 8, 3
     adj = graphs.sample_connected_er(rng, 1, P, 0.6)[0]

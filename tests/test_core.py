@@ -177,6 +177,7 @@ def test_same_mode_table_broadcasts(rng):
     np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_apply_losses_matches_full_Y(rng):
     """In-scan loss path == compute_loss(full Y) in value AND gradient."""
     cfg = Config(P=4, m=12, n=16, GHN_iter_num=5, batch_size=2, DADMM_mode="diff")
@@ -288,6 +289,38 @@ def test_bf16_solver_state_quality_gate():
     assert nmses["bfloat16"] <= nmses["float32"] * 1.005, nmses
 
 
+@pytest.mark.slow
+def test_bf16_full_serving_quality_gate():
+    """bf16 matmul operands ON TOP of the bf16 solver state (the round-3 serving
+    headline combo, bench variant xla_bf16_state_factored_final_bf16mm) must stay
+    within 0.5% NMSE of the f32 solver on a committed trained checkpoint
+    (0.002% measured on the golden imported run)."""
+    import os
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils import checkpoint as ckpt
+
+    base = "results_parity/unfolded_extended"
+    run_dir = os.path.join(base, sorted(os.listdir(base))[0])
+    cfg = Config.from_json(open(os.path.join(run_dir, "args.json")).read())
+    A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
+    key = jax.random.key(int(cfg.seed) + 12345)
+    k_data, k_state = jax.random.split(key)
+    b, y = data_ops.make_dataset(k_data, A, 16, cfg.snr, noise=cfg.data_noise)
+    rng_g = np.random.default_rng(int(cfg.seed))
+    one = graphs.sample_er_adjacency(rng_g, cfg.P, cfg.graph_prob)
+    adj = jnp.broadcast_to(jnp.asarray(one), (16, cfg.P, cfg.P))
+    nmses = {}
+    for tag, kw in (("f32", {}),
+                    ("bf16_full", {"dtype": "bfloat16",
+                                   "matmul_dtype": "bfloat16",
+                                   "gram_mode": "factored"})):
+        model = unfolded.UnfoldedDLASSO(A, cfg.replace(**kw))
+        params = model.init()
+        tree, _ = ckpt.restore_partial(os.path.join(run_dir, "best"), {"params": params})
+        yf = model.apply_final(tree["params"], k_state, b, adj, training=False)
+        nmses[tag] = float(losses.nmse(yf.astype(jnp.float32), y))
+    assert nmses["bf16_full"] <= nmses["f32"] * 1.005, nmses
+
+
 def test_unfolded_dlr_matches_numpy_restatement(rng):
     """The unfolded dlr scan (models/unfolded_dlr.py) matches an independent numpy
     restatement of the Jacobi dlr update equations (classic dlr math of
@@ -330,6 +363,7 @@ def test_unfolded_dlr_matches_numpy_restatement(rng):
     np.testing.assert_allclose(np.asarray(per_kp[-1]), want_last, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_unfolded_dlr_trains(tmp_path):
     """End-to-end: the learned 6-param table reduces validation loss on synthetic
     dlr data through the CLI driver."""
@@ -412,6 +446,7 @@ def test_dlr_oneshot_corrected_starts_at_oneshot_and_trains(tmp_path):
     assert np.isfinite(out["loss_curve"]).all()
 
 
+@pytest.mark.slow
 def test_unroll_table_final_matches_stacked(rng):
     """The serving fast path (final-iterate-only scan) is trajectory-identical to
     the stacked unroll's last row, for fp32 and the bf16+factored serving config."""

@@ -1,5 +1,6 @@
 """Full-unroll fused kernel: parity vs the scan solver (interpret mode) + gradients."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ def test_fused_unroll_fallback_unaligned(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_unroll_gradients(rng):
     AtA, st, Atb, deg, adj, table, clips = _problem(rng, B=4, P=8, n=128, K=3)
 

@@ -13,9 +13,9 @@ from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs, sensing
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.parallel import gnn_sharded, mesh as mesh_lib
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
-)
+), pytest.mark.slow, pytest.mark.mesh]
 
 
 def _setup(rng, mode="diff", gram_mode="gram", B=4, Pn=8, m=6, n=16, K=3):

@@ -30,10 +30,10 @@ from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import classic_data, graphs
 REF_DIR = "/root/reference/checkpoints/dlasso/exp for 5 agents/diff"
 REF_GRAPH = "/root/reference/graphs data/erods_renyi/graph_data_prob0.5_P=5.npy"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not (os.path.isdir(REF_DIR) and os.path.exists(REF_GRAPH)),
     reason="reference classic artifacts not present",
-)
+), pytest.mark.slow]
 
 
 def _load_tables():

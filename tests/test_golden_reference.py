@@ -20,10 +20,10 @@ import numpy as np
 import pytest
 
 REF = "/root/reference/results/csv_folder1"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not os.path.exists(os.path.join(REF, "model.pt")),
     reason="reference snapshot with committed trained weights not available",
-)
+), pytest.mark.slow]
 
 
 @pytest.fixture(scope="module")

@@ -21,9 +21,9 @@ from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import losses, optim
 from jax.sharding import PartitionSpec as P
 
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
-)
+), pytest.mark.mesh]
 
 
 def _mesh(data=2, agents=4):

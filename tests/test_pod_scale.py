@@ -14,9 +14,9 @@ from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops, gr
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.parallel import (
     gnn_sharded, mesh as mesh_lib, unfolded_sharded)
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
-)
+), pytest.mark.slow, pytest.mark.mesh]
 
 
 @pytest.mark.parametrize("schedule", ["allgather", "ppermute"])

@@ -10,9 +10,9 @@ from hyperparameter_gnn_unfolded_d_admm_main_tpu.kernels import ring_consensus
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import graphs
 from hyperparameter_gnn_unfolded_d_admm_main_tpu.parallel import mesh as mesh_lib
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
-)
+), pytest.mark.mesh]
 
 
 def test_ring_all_gather_matches_identity(rng):

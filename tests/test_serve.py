@@ -16,10 +16,10 @@ import pytest
 
 RUN = os.path.join(os.path.dirname(__file__), os.pardir,
                    "results_parity", "imported_csv_folder1")
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not os.path.exists(os.path.join(RUN, "best", "state.msgpack")),
     reason="imported golden run not present",
-)
+), pytest.mark.slow]
 
 
 class Client:

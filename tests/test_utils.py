@@ -55,6 +55,7 @@ def test_iostream_tees(tmp_path, capsys):
     assert "hello" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_tensorboard_writer(tmp_path):
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.utils.logging import TensorBoardWriter
 
