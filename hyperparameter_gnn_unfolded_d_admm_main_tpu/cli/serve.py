@@ -135,7 +135,7 @@ class _Solver:
                   os.path.basename(os.path.normpath(run_dir)).endswith("unfolded_dlr"))
         self.case = "dlr" if is_dlr else cfg.case
         if is_dlr:
-            if overrides:
+            if "dtype" in overrides or "gram_mode" in overrides:
                 print("note: dlr serving currently runs dense float32 — "
                       "--dtype/--gram_mode are ignored for this family",
                       file=sys.stderr)
@@ -326,6 +326,12 @@ class _Solver:
             np.random.default_rng(int(cfg.seed)), cfg.P, cfg.graph_prob)
         self.default_adj = np.broadcast_to(
             one, (self.max_batch, cfg.P, cfg.P)).copy()
+        n_mesh = cfg.mesh_data * cfg.mesh_agents
+        if n_mesh > 1 and (self.max_batch % cfg.mesh_data or self.P % cfg.mesh_agents):
+            raise SystemExit(
+                f"sharded serving needs max_batch ({self.max_batch}) divisible by "
+                f"mesh_data ({cfg.mesh_data}) and P ({self.P}) divisible by "
+                f"mesh_agents ({cfg.mesh_agents})")
 
         if cfg.hyp_mode == "GHyp":
             model = DLRGNNHyp(cfg.P, cfg.n, cfg)
@@ -333,11 +339,50 @@ class _Solver:
             self._tree_template = {"params": params, "norm_state": norm_state}
             self._tree = self._restore(ckpt_name)
 
+            if n_mesh > 1 and cfg.mesh_agents > 1:
+                raise SystemExit(
+                    "--mesh_agents > 1 is unavailable for the dlr GHyp tier: its "
+                    "per-iteration hypernetwork uses the flattened global head "
+                    "(DESIGN.md section 4) — use --mesh_data N --mesh_agents 1")
+
             def fn(tree, key, x, y, adj):
                 _, _, st = model.apply_losses(
                     tree["params"], tree["norm_state"], key, x, y, adj,
                     training=False, return_state=True)
                 return st.a, st.w
+
+            if n_mesh > 1:
+                # data-parallel GSPMD: eval-mode forward is per-sample
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import mesh as mesh_lib
+
+                mesh = mesh_lib.make_mesh(cfg.mesh_data, 1)
+                dp = NamedSharding(mesh, PartitionSpec(mesh_lib.DATA_AXIS))
+                repl = NamedSharding(mesh, PartitionSpec())
+                self._fn = jax.jit(fn, in_shardings=(repl, repl, dp, dp, dp))
+            else:
+                self._fn = jax.jit(fn)
+        elif n_mesh > 1 and cfg.hyp_mode in ("GHyp1", "GHyp1c"):
+            # Sharded one-shot tiers: replicated table eval + shard_map'd unroll
+            # with collective neighbor sums (parallel/unfolded_sharded.py).
+            from ..parallel import mesh as mesh_lib, unfolded_sharded
+
+            model_cls = {"GHyp1": DLRGNNHypOneShot,
+                         "GHyp1c": DLRGNNHypOneShotCorrected}[cfg.hyp_mode]
+            model = model_cls(cfg.P, cfg.n, cfg)
+            self._tree_template = {"params": model.init()}
+            self._tree = self._restore(ckpt_name)
+            mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_agents)
+            run = unfolded_sharded.make_sharded_dlr_ghyp_unroll(
+                mesh, model, remat=False)  # serving: no backward to rematerialize
+
+            def _sharded_ghyp_fn(tree, key, x, y, adj):
+                # training=True matches the dense serving path below (the tiers'
+                # anti-saturation rescale is part of the validated model)
+                st, _ = run(tree["params"], key, x, y, adj, training=True)
+                return st.a, st.w
+
+            self._fn = jax.jit(_sharded_ghyp_fn)
         else:
             model_cls = {"GHyp1": DLRGNNHypOneShot,
                          "GHyp1c": DLRGNNHypOneShotCorrected}.get(cfg.hyp_mode,
@@ -365,7 +410,28 @@ class _Solver:
                                      step_hyp_fn=step_fn)
                 return st.a, st.w
 
-        self._fn = jax.jit(fn)
+            if n_mesh > 1:
+                # Sharded table tier: collective neighbor sums over (data, agents).
+                from ..parallel import mesh as mesh_lib, unfolded_sharded
+
+                mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_agents)
+                sharded_unroll = unfolded_sharded.make_sharded_dlr_unroll(
+                    mesh, remat=False)
+                K = int(cfg.GHN_iter_num)
+
+                def _sharded_table_fn(tree, key, x, y, adj):
+                    table = seq_hyperparam.hyp_table(
+                        tree["params"]["seq_hyp"], model.max_param, training=True,
+                        max_penalty_threshold=cfg.max_penalty_threshold,
+                        penalty_reduction_factor=cfg.penalty_reduction_factor)
+                    table = jnp.broadcast_to(table, (K, cfg.P, 6))
+                    st0 = init_state(key, x.shape[0], cfg.P, cfg.n, dtype=x.dtype)
+                    st, _ = sharded_unroll(st0, table, x, y, adj)
+                    return st.a, st.w
+
+                self._fn = jax.jit(_sharded_table_fn)
+            else:
+                self._fn = jax.jit(fn)
         self._key = jax.random.key(int(cfg.seed) + 777)
         self._jnp, self._np, self._jax = jnp, np, jax
         self._lock = threading.Lock()

@@ -318,6 +318,59 @@ def test_serve_max_request_size_guard():
             proc.wait(timeout=30)
 
 
+@pytest.mark.parametrize("tier,mesh_data,mesh_agents",
+                         [("table", 1, 5), ("table", 2, 1),
+                          ("GHyp1c", 1, 5), ("GHyp", 2, 1)])
+def test_serve_dlr_mesh_sharded_matches_dense(tier, mesh_data, mesh_agents):
+    """dlr mesh serving: the sharded fits (table tier via the collective-consensus
+    unroll, one-shot tiers via the replicated-table + shard_map pipeline, GHyp
+    data-parallel) must match the dense daemon's fitted (a, w)."""
+    run = DLR_RUNS[tier]
+    if not os.path.exists(os.path.join(run, "best", "state.msgpack")):
+        pytest.skip("trained dlr run not present")
+
+    def start(extra):
+        proc = subprocess.Popen(
+            [sys.executable, "-m",
+             "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+             run, "--device", "cpu", "--port", "0", "--max_batch", "2"] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+        )
+        return proc, json.loads(proc.stdout.readline())
+
+    dense_p, dense_r = start([])
+    mesh_p, mesh_r = start(["--mesh_data", str(mesh_data),
+                            "--mesh_agents", str(mesh_agents)])
+    try:
+        P, d = dense_r["P"], dense_r["m"]
+        rng = np.random.default_rng(9)
+        B = 3  # > max_batch: chunking through the sharded path
+        a_true = rng.standard_normal((B, d))
+        b_true = rng.standard_normal((B, 1))
+        x = rng.standard_normal((B, P, d)) / np.sqrt(d)
+        y = np.einsum("bpd,bd->bp", x, a_true) + b_true
+        req = {"x": x.tolist(), "y": y.tolist()}
+        dense_cli = Client(dense_r["host"], dense_r["port"])
+        mesh_cli = Client(mesh_r["host"], mesh_r["port"])
+        want = dense_cli.call(req)
+        got = mesh_cli.call(req)
+        assert "a" in got, got
+        np.testing.assert_allclose(np.asarray(got["a"]), np.asarray(want["a"]),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got["w"]), np.asarray(want["w"]),
+                                   rtol=1e-3, atol=1e-3)
+        for cli in (dense_cli, mesh_cli):
+            assert cli.call({"cmd": "shutdown"})["shutdown"]
+        dense_p.wait(timeout=60)
+        mesh_p.wait(timeout=60)
+    finally:
+        for proc in (dense_p, mesh_p):
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=30)
+
+
 @pytest.mark.parametrize("mesh_data,mesh_agents", [(1, 5), (2, 1)])
 def test_serve_mesh_sharded_matches_dense(mesh_data, mesh_agents):
     """--mesh_data/--mesh_agents serving: the shard_map'd unroll (agent axis with
