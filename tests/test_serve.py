@@ -371,6 +371,61 @@ def test_serve_dlr_mesh_sharded_matches_dense(tier, mesh_data, mesh_agents):
                 proc.wait(timeout=30)
 
 
+NODEWISE_RUN = os.path.join(_PARITY, "nodewise_parity", "20260820_091309_progressive")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(NODEWISE_RUN, "best", "state.msgpack")),
+    reason="trained nodewise flagship run not present",
+)
+def test_serve_gnn_agent_sharded_matches_dense():
+    """Agent-sharded flagship serving (--mesh_agents 5 on the trained nodewise
+    GHyp run): packed-ring GCN + collective consensus inside the daemon must
+    return the dense daemon's solutions; per-request adj overrides are rejected
+    in this mode (topology is packed once at startup)."""
+    def start(extra):
+        proc = subprocess.Popen(
+            [sys.executable, "-m",
+             "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+             NODEWISE_RUN, "--device", "cpu", "--port", "0",
+             "--max_batch", "2"] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+        )
+        return proc, json.loads(proc.stdout.readline())
+
+    A = np.load(os.path.join(NODEWISE_RUN, "A.npy"))
+    rng = np.random.default_rng(11)
+    B = 2
+    ys = 2.0 * rng.standard_normal((B, 500)) * (rng.random((B, 500)) <= 0.25)
+    bs = np.einsum("pmn,bn->bpm", A, ys)
+    dense_p, dense_r = start([])
+    mesh_p, mesh_r = start(["--mesh_data", "1", "--mesh_agents", "5"])
+    try:
+        dense_cli = Client(dense_r["host"], dense_r["port"])
+        mesh_cli = Client(mesh_r["host"], mesh_r["port"])
+        want = np.asarray(dense_cli.call({"b": bs.tolist()})["y_hat"])
+        got = np.asarray(mesh_cli.call({"b": bs.tolist()})["y_hat"])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+        nm_w = np.sum((want - ys) ** 2) / np.sum(ys ** 2)
+        nm_g = np.sum((got - ys) ** 2) / np.sum(ys ** 2)
+        assert abs(nm_g - nm_w) < 1e-3 * max(nm_w, 1e-6), (nm_g, nm_w)
+        # adj override is a clean protocol error in agent-sharded mode
+        adj = np.zeros((5, 5)); adj[0, 1:] = adj[1:, 0] = 1
+        resp = mesh_cli.call({"b": bs.tolist(), "adj": adj.tolist()})
+        assert "error" in resp and "mesh_agents" in resp["error"]
+        assert mesh_cli.call({"cmd": "ping"})["ok"]
+        for cli in (dense_cli, mesh_cli):
+            assert cli.call({"cmd": "shutdown"})["shutdown"]
+        dense_p.wait(timeout=60)
+        mesh_p.wait(timeout=60)
+    finally:
+        for proc in (dense_p, mesh_p):
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=30)
+
+
 @pytest.mark.parametrize("mesh_data,mesh_agents", [(1, 5), (2, 1)])
 def test_serve_mesh_sharded_matches_dense(mesh_data, mesh_agents):
     """--mesh_data/--mesh_agents serving: the shard_map'd unroll (agent axis with
