@@ -168,11 +168,37 @@ def cast_solver_dtype(state: SolverState, Atb: jax.Array, solver_dtype):
 ConsensusFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
-def _scan_iterations(body, state, hyp_table: jax.Array, remat: bool):
-    """Shared K-scan plumbing: optional remat on the body, scanned over
+def resolve_remat_policy(name):
+    """Map a config string to a jax.checkpoint rematerialization policy.
+
+    - None/"full": recompute everything in the backward (max memory savings —
+      the default, optimal when the workload is HBM-bound: PARITY.md training
+      ablation showed storing ALL activations is slower).
+    - "dots": `dots_saveable` — save matmul/einsum OUTPUTS (the Gram matvec and
+      the consensus matmul, i.e. the FLOPs) and recompute only elementwise ops.
+      Trades ~one state-sized HBM write+read per dot for skipping its recompute.
+    """
+    if name in (None, "", "none", "full"):
+        return None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    if name not in policies:
+        raise ValueError(f"unknown remat policy {name!r}; one of "
+                         f"{['full'] + sorted(policies)}")
+    return policies[name]
+
+
+def _scan_iterations(body, state, hyp_table: jax.Array, remat: bool,
+                     remat_policy=None):
+    """Shared K-scan plumbing: optional remat on the body (with an optional
+    checkpoint policy — see `resolve_remat_policy`), scanned over
     `(k, hyp_table[k])`, returning the stacked per-iteration outputs."""
     if remat:
-        body = jax.checkpoint(body)
+        policy = (resolve_remat_policy(remat_policy)
+                  if isinstance(remat_policy, (str, type(None))) else remat_policy)
+        body = jax.checkpoint(body, policy=policy)
     K = hyp_table.shape[0]
     ks = jnp.arange(K, dtype=jnp.float32)
     _, outs = jax.lax.scan(body, state, (ks, hyp_table))
@@ -406,6 +432,7 @@ def unroll_table_losses(
     gram_mode: str = "gram",
     solver_dtype=None,
     topo=None,
+    remat_policy=None,
 ) -> jax.Array:
     """Like `unroll_table` but emits per-iteration per-agent MSEs `[K, P]` instead of
     the stacked iterates `Y [K, B, P, n]`. `topo` as in `unroll_table`.
@@ -442,4 +469,4 @@ def unroll_table_losses(
         per_p = jnp.mean(diff * diff, axis=(0, 2))   # [P]
         return nxt, per_p
 
-    return _scan_iterations(body, state, hyp_table, remat)
+    return _scan_iterations(body, state, hyp_table, remat, remat_policy)

@@ -321,6 +321,40 @@ def test_bf16_full_serving_quality_gate():
     assert nmses["bf16_full"] <= nmses["f32"] * 1.005, nmses
 
 
+@pytest.mark.slow
+def test_remat_policy_gradient_equivalence(rng):
+    """remat_policy ('dots'/'dots_no_batch') changes only WHAT the backward
+    recomputes, never the values: loss and gradients must match full remat
+    exactly (the policies were measured slower-or-parity on TPU — DESIGN.md
+    remat-policy ablation — but the knob must stay numerically transparent)."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import seq_hyperparam
+
+    B, P, m, n, K = 2, 4, 6, 8, 3
+    A = sensing.set_A(jax.random.key(0), P, m, n)
+    b, label = data_ops.make_dataset(jax.random.key(1), A, B)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, P, 0.5))
+    Atb = sensing.At_apply(A, b)
+    st = dadmm_core.init_state(jax.random.key(2), B, P, n)
+    table = seq_hyperparam.hyp_table(
+        0.05 * jnp.ones((K, P, 4), jnp.float32), jnp.asarray([0.1, 0.99, 0.99, 0.99]))
+
+    def loss(tb, policy):
+        per_kp = dadmm_core.unroll_table_losses(
+            st, tb, None, Atb, adj, label, A=A, gram_mode="factored",
+            remat=True, remat_policy=policy)
+        return jnp.mean(per_kp[-1])
+
+    v0, g0 = jax.value_and_grad(loss)(table, None)
+    for policy in ("dots", "dots_no_batch"):
+        v, g = jax.value_and_grad(loss)(table, policy)
+        np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-7)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown remat policy"):
+        loss(table, "bogus")
+
+
 def test_unfolded_dlr_matches_numpy_restatement(rng):
     """The unfolded dlr scan (models/unfolded_dlr.py) matches an independent numpy
     restatement of the Jacobi dlr update equations (classic dlr math of
