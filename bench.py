@@ -55,7 +55,9 @@ def variant_roofline(tag: str) -> dict:
     md = 2 if ("bf16mm" in tag or tag == "xla_bf16") else 4
     units = 7 if "final" in tag or "losses" in tag or "train" in tag else 8
     state = units * B * p * N * sd                     # in-scan loss drops the Y write
-    if "factored" in tag or "train" in tag:            # train variants run factored
+    # train variants and the VMEM-resident Pallas kernels all run the FACTORED
+    # operand (A^T(A y)); only the explicit gram-streaming variants read AtA
+    if "factored" in tag or "train" in tag or "resident" in tag:
         operand = 2 * p * M * N * md
         mv_flops = 2 * 2 * B * p * M * N
     else:

@@ -236,6 +236,7 @@ def main(argv=None):
             nan_guard=cfg.nan_guard,
             remat=cfg.remat,
             solver_dtype=cfg.dtype if cfg.dtype != "float32" else None,
+            matmul_dtype=cfg.matmul_dtype if cfg.matmul_dtype != "float32" else None,
         )
         op = A if factored else model.AtA
         Y = unroll(state, table, op, sensing.At_apply(A, b), adj)

@@ -66,6 +66,15 @@ BIN_MAGIC = b"DBF1"
 BIN_ERR_MAGIC = b"DBE1"
 
 
+def _check_mesh_divisibility(cfg, max_batch: int, P: int) -> None:
+    """Shared mesh-shape validation for both problem families."""
+    if max_batch % cfg.mesh_data or P % cfg.mesh_agents:
+        raise SystemExit(
+            f"sharded serving needs max_batch ({max_batch}) divisible by "
+            f"mesh_data ({cfg.mesh_data}) and P ({P}) divisible by "
+            f"mesh_agents ({cfg.mesh_agents})")
+
+
 def _read_exact(rfile, n: int) -> bytes:
     """Read exactly n bytes from a buffered file object (b"" only at clean EOF;
     a torn frame surfaces as a short read). bytearray accumulation: frames run up
@@ -148,11 +157,7 @@ class _Solver:
         # over `data`, the P agents (and the consensus collectives) over `agents`.
         n_mesh = cfg.mesh_data * cfg.mesh_agents
         if n_mesh > 1:
-            if max_batch % cfg.mesh_data or self.P % cfg.mesh_agents:
-                raise SystemExit(
-                    f"sharded serving needs max_batch ({max_batch}) divisible by "
-                    f"mesh_data ({cfg.mesh_data}) and P ({self.P}) divisible by "
-                    f"mesh_agents ({cfg.mesh_agents})")
+            _check_mesh_divisibility(cfg, max_batch, self.P)
 
         # GNN-family detection mirrors cli.evaluate: recorded tier in args.json,
         # directory-name suffix as fallback for runs saved before hyp_mode recording
@@ -206,6 +211,10 @@ class _Solver:
                     return Y[-1]
 
                 self._fn = jax.jit(_gnn_sharded_fn)
+                # the jit ignores adj (packed once at startup) — pass a scalar
+                # placeholder instead of transferring [max_batch, P, P] per chunk
+                # (at P=1024/max_batch=32 that would be ~134 MB of dead H2D)
+                self._adj_placeholder = jnp.zeros((), jnp.float32)
             elif n_mesh > 1:
                 # Data-parallel GNN serving: eval-mode forward is purely per-sample
                 # (running stats, no dropout), so GSPMD shards the batch cleanly.
@@ -245,6 +254,8 @@ class _Solver:
                     nan_guard=cfg.nan_guard,
                     remat=False,  # serving: no backward pass to rematerialize for
                     solver_dtype=cfg.dtype if cfg.dtype != "float32" else None,
+                    matmul_dtype=(cfg.matmul_dtype
+                                  if cfg.matmul_dtype != "float32" else None),
                 )
                 op = A if factored else model.AtA
                 K = int(cfg.GHN_iter_num)
@@ -327,11 +338,8 @@ class _Solver:
         self.default_adj = np.broadcast_to(
             one, (self.max_batch, cfg.P, cfg.P)).copy()
         n_mesh = cfg.mesh_data * cfg.mesh_agents
-        if n_mesh > 1 and (self.max_batch % cfg.mesh_data or self.P % cfg.mesh_agents):
-            raise SystemExit(
-                f"sharded serving needs max_batch ({self.max_batch}) divisible by "
-                f"mesh_data ({cfg.mesh_data}) and P ({self.P}) divisible by "
-                f"mesh_agents ({cfg.mesh_agents})")
+        if n_mesh > 1:
+            _check_mesh_divisibility(cfg, self.max_batch, self.P)
 
         if cfg.hyp_mode == "GHyp":
             model = DLRGNNHyp(cfg.P, cfg.n, cfg)
@@ -448,8 +456,9 @@ class _Solver:
             self.K = int(self.cfg.GHN_iter_num)
             return
         b = jnp.zeros((self.max_batch, self.P, self.m), jnp.float32)
-        y_fin = self._fn(self._tree, self._key, b,
-                         jnp.asarray(self.default_adj, jnp.float32))
+        adj_arg = (self._adj_placeholder if self._mesh_agent_sharded
+                   else jnp.asarray(self.default_adj, jnp.float32))
+        y_fin = self._fn(self._tree, self._key, b, adj_arg)
         self._jax.block_until_ready(y_fin)
         self.K = int(self.cfg.GHN_iter_num)  # _fn now returns the final iterate only
 
@@ -535,9 +544,10 @@ class _Solver:
         out = []
         with self._lock:
             for (chunk,), adj, n_real in self._iter_chunks(B, (b_np,), adj_np):
+                adj_arg = (self._adj_placeholder if self._mesh_agent_sharded
+                           else jnp.asarray(adj, jnp.float32))
                 y_fin = self._fn(self._tree, self._key,
-                                 jnp.asarray(chunk, jnp.float32),
-                                 jnp.asarray(adj, jnp.float32))
+                                 jnp.asarray(chunk, jnp.float32), adj_arg)
                 y_hat = np.asarray(jnp.mean(y_fin, axis=1))  # consensus over agents
                 out.append(y_hat[:n_real])
         return np.concatenate(out), B
@@ -664,7 +674,19 @@ def main(argv=None):
 
     from ..utils.platform import enable_compile_cache, select_device
 
-    n_mesh = int(opts.get("--mesh_data", 1)) * int(opts.get("--mesh_agents", 1))
+    # Provision devices from the EFFECTIVE mesh (run's recorded args.json values,
+    # overridden by CLI flags) — _Solver reads the same merged config, so a run
+    # TRAINED with a mesh serves sharded by default and must find its devices.
+    from ..config import Config as _Config
+
+    try:
+        with open(os.path.join(run_dir, "args.json")) as f:
+            _run_cfg = _Config.from_json(f.read())
+        _md, _ma = _run_cfg.mesh_data, _run_cfg.mesh_agents
+    except OSError:
+        _md = _ma = 1
+    n_mesh = (int(opts.get("--mesh_data", _md))
+              * int(opts.get("--mesh_agents", _ma)))
     select_device(opts.get("--device", "tpu"),
                   host_device_count=n_mesh if n_mesh > 1 else None)
     if "--compile_cache" in opts:

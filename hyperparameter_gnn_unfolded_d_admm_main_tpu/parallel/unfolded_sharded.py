@@ -39,6 +39,7 @@ def make_sharded_unroll(
     remat: bool = True,
     gram_mode: str = "gram",
     solver_dtype=None,
+    matmul_dtype=None,
 ):
     """Build a jitted `(state, hyp_table, op, Atb, adj) -> Y` over `mesh`.
 
@@ -73,6 +74,7 @@ def make_sharded_unroll(
             op if gram_mode == "gram" else None,
             op if gram_mode == "factored" else None,
             gram_mode,
+            matmul_dtype,
         )
         state, Atb = dadmm_core.cast_solver_dtype(state, Atb, solver_dtype)
 

@@ -41,6 +41,8 @@ if _connect:
     pong = json.loads(f0.readline())
     f0.close(); s0.close()
     ready = {"host": host, "port": int(port), **pong}
+    # record the DAEMON's actual compiled batch, not the CLI default
+    MAX_BATCH = int(ready.get("max_batch", MAX_BATCH))
 else:
     proc = subprocess.Popen(
         [sys.executable, "-m", "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",

@@ -371,6 +371,46 @@ def test_serve_dlr_mesh_sharded_matches_dense(tier, mesh_data, mesh_agents):
                 proc.wait(timeout=30)
 
 
+def test_serve_mesh_trained_run_without_flags(tmp_path):
+    """A run TRAINED with mesh flags (args.json records mesh_data/mesh_agents > 1)
+    must serve sharded by default with NO CLI mesh flags: main() provisions
+    devices from the merged effective mesh, not just the CLI values (regression:
+    the two n_mesh computations used to disagree and the daemon died at startup)."""
+    import shutil
+
+    run = tmp_path / "mesh_trained"
+    shutil.copytree(RUN, run)
+    cfg = json.load(open(run / "args.json"))
+    cfg["mesh_data"], cfg["mesh_agents"] = 2, 1
+    json.dump(cfg, open(run / "args.json", "w"))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         str(run), "--device", "cpu", "--port", "0", "--max_batch", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        line = proc.stdout.readline()
+        assert line, f"server died at startup (rc={proc.poll()})"
+        ready = json.loads(line)
+        cli = Client(ready["host"], ready["port"])
+        assert cli.call({"cmd": "ping"})["ok"]
+        A = np.load(os.path.join(RUN, "A.npy"))
+        rng = np.random.default_rng(0)
+        y = 2.0 * rng.standard_normal(500) * (rng.random(500) <= 0.25)
+        b = np.einsum("pmn,n->pm", A, y)
+        resp = cli.call({"b": b.tolist()})
+        assert np.isfinite(np.asarray(resp["y_hat"])).all()
+        assert cli.call({"cmd": "shutdown"})["shutdown"]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+
 NODEWISE_RUN = os.path.join(_PARITY, "nodewise_parity", "20260820_091309_progressive")
 
 

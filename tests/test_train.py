@@ -1,8 +1,9 @@
-import pytest
 """Training harness: schedules, optimizer plumbing, short end-to-end runs of both
 trainers (tiny configs), checkpoint resume."""
 
 import os
+
+import pytest
 
 import numpy as np
 import jax
