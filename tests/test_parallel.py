@@ -182,6 +182,32 @@ def test_sharded_dlr_unroll_matches_dense(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_sharded_packed_unroll_on_geometric_graphs(rng):
+    """The second topology family (random geometric graphs, `--graph_type
+    geometric`) through the pod-scale packed ppermute path: the sharded packed
+    unroll must match the dense single-device solver — the collective schedule
+    is topology-family-agnostic (adjacency is data)."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import topology as topo_lib
+
+    B, Pn, m, n, K = 2, 8, 4, 12, 3
+    mesh = _mesh(data=2, agents=4)
+    adj_np = graphs.sample_graph_batch(5, B, Pn, "geometric", 0.45)
+    A = jax.random.normal(jax.random.key(0), (Pn, m, n), jnp.float32) / np.sqrt(m)
+    AtA = sensing.gram(A)
+    b = jax.random.normal(jax.random.key(1), (B, Pn, m), jnp.float32)
+    Atb = sensing.At_apply(A, b)
+    st = dadmm_core.init_state(jax.random.key(2), B, Pn, n)
+    table = seq_hyperparam.hyp_table(
+        0.05 * jnp.ones((K, Pn, 4), jnp.float32), jnp.asarray([0.1, 0.99, 0.99, 0.99]))
+    dense = dadmm_core.unroll_table(st, table, AtA, Atb, jnp.asarray(adj_np))
+    packed = topo_lib.pack_adjacency_sharded(adj_np, num_shards=4)
+    unroll = unfolded_sharded.make_sharded_unroll_packed(
+        mesh, schedule="ppermute", gram_mode="gram")
+    Y = unroll(st, table, AtA, Atb, packed)
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("tier", ["GHyp1", "GHyp1c"])
 @pytest.mark.parametrize("mode", ["diff", "same"])
 @pytest.mark.slow
