@@ -1,8 +1,12 @@
 """Benchmark: D-ADMM iterations/sec/chip on the real TPU.
 
-Prints ONE JSON line:
+The LAST stdout line is ONE COMPACT JSON line (< 1500 chars — the driver's tail
+capture window must contain the whole line, see build_records):
     {"metric": "dadmm_iter_per_sec_per_chip", "value": N, "unit": "iter/s",
-     "vs_baseline": N / baseline, ...extras}
+     "vs_baseline": N / baseline, "variants_iter_per_sec": {...},
+     "baseline_source": "measured_this_run" | "fallback_round1_constant", ...}
+Full detail (rooflines, per-variant step times, hw peaks, notes) is written to
+results_parity/bench_detail.json.
 
 Workload: the scaled single-host config from BASELINE.json — P=64 agents, batch 256
 scenarios, m=100, n=512, K=15 unfolded D-ADMM iterations (Gram matvec + soft-threshold
@@ -123,7 +127,7 @@ def bench_tpu():
 
     import sys
 
-    def time_loop(fn, args, out_bytes, tag, min_s_per_unroll=0.0):
+    def time_loop(fn, args, out_bytes, tag, min_s_per_unroll=0.0, k_iters=K):
         """Timing window with a physical-plausibility guard: one unroll can never be
         faster than writing its own output through HBM (~819 GB/s on v5e; bound at
         2 TB/s for slack), nor faster than `min_s_per_unroll` when the caller knows a
@@ -141,7 +145,7 @@ def bench_tpu():
             dt = time.perf_counter() - t0
             best_dt = dt if best_dt is None else max(best_dt, dt)
             if dt / REPEATS >= sol_s:
-                return REPEATS * K / dt, dt / REPEATS
+                return REPEATS * k_iters / dt, dt / REPEATS
             print(f"{tag}: implausible window ({dt / REPEATS * 1e6:.0f}us/unroll < "
                   f"HBM bound {sol_s * 1e6:.0f}us), re-measuring", file=sys.stderr, flush=True)
         # Every window beat the HBM write bound -> the reading is not a measurement.
@@ -328,12 +332,12 @@ def bench_tpu():
             run5 = jax.jit(lambda h, bb: solver.run(h, bb, sched)[0])
             X = run5(hyp5, bC)
             jax.block_until_ready(X)
-            t0 = time.perf_counter()
-            for _ in range(REPEATS):
-                X = run5(hyp5, bC)
-            jax.block_until_ready(X)
-            dt = time.perf_counter() - t0
-            variants["classic_P5_color_sweep"] = (REPEATS * KC / dt, dt / REPEATS)
+            # Same implausible-window guard as every other variant (the tunnel's
+            # early-return anomaly must not record an absurd classic iter/s):
+            # one run can never be faster than writing X [BC, 2000] f32 to HBM.
+            variants["classic_P5_color_sweep"] = time_loop(
+                run5, (hyp5, bC), BC * 2000 * 4, "classic_P5_color_sweep",
+                k_iters=KC)
         except Exception as e:  # noqa: BLE001
             print(f"variant classic_P5 failed: {e}", file=sys.stderr, flush=True)
 
@@ -434,32 +438,32 @@ def bench_torch_reference_style():
     return 1.0 / dt, dt
 
 
-def main():
-    variants = bench_tpu()
-    try:
-        base_ips, base_step = bench_torch_reference_style()
-    except Exception:  # noqa: BLE001 - fall back to the recorded round-1 measurement
-        base_ips = 0.0522
-    # Headline over the P=64 scaled-config FORWARD unroll only (ref_shape_* is a
-    # different, easier workload; train_* includes the backward and classic_* is a
-    # different algorithm — informational).
+# Hard cap on the final stdout line. The driver records only a ~2000-char tail of
+# stdout and parses the LAST line; rounds 2 AND 3 lost the headline because the
+# roofline dict embedded in that line pushed the front of the JSON out of the tail
+# window (BENCH_r02/r03 `parsed: null`). Detail now goes to a file; the compact
+# line must stay comfortably inside the window.
+COMPACT_LINE_MAX = 1500
+
+
+def build_records(variants, base_ips, baseline_source):
+    """Split results into (compact_scoreboard_record, detail_record).
+
+    The compact record is what main() prints as the LAST stdout line — guaranteed
+    (tests/test_bench_format.py) to serialize under COMPACT_LINE_MAX chars even
+    with the full 18-variant grid. The detail record (rooflines, notes, per-variant
+    step times) is written to results_parity/bench_detail.json.
+    """
     headline = {k: v for k, v in variants.items()
                 if not k.startswith(("ref_shape", "train_", "classic"))}
     if not headline:  # every variant dropped (all-implausible timing): report honestly
-        print(json.dumps({
-            "metric": "dadmm_iter_per_sec_per_chip", "value": 0.0, "unit": "iter/s",
-            "vs_baseline": 0.0,
-            "error": "all timing windows violated the HBM plausibility bound",
-        }))
-        return
-    best_name, (best_ips, best_step) = max(headline.items(), key=lambda kv: kv[1][0])
-    print(json.dumps({
-        "metric": "dadmm_iter_per_sec_per_chip",
-        "value": round(best_ips, 2),
-        "unit": "iter/s",
-        "vs_baseline": round(best_ips / base_ips, 2),
-        "config": f"P={P} B={B} m={M} n={N} K={K} forward, best variant: {best_name}",
-        "variants_iter_per_sec": {k: round(v[0], 2) for k, v in variants.items()},
+        rec = {"metric": "dadmm_iter_per_sec_per_chip", "value": 0.0,
+               "unit": "iter/s", "vs_baseline": 0.0,
+               "error": "all timing windows violated the HBM plausibility bound"}
+        return rec, {"variants_iter_per_sec": {}}
+    best_name, (best_ips, _best_step) = max(headline.items(), key=lambda kv: kv[1][0])
+    vips = {k: round(v[0], 2) for k, v in variants.items()}
+    detail = {
         "rooflines": attach_rooflines(variants),
         "roofline_note": "bytes_per_iter is the analytic NO-FUSION upper bound "
                          "(8 state-tensor transfers + operand + adj); pct_hbm_peak "
@@ -469,10 +473,56 @@ def main():
                          "artifact (those are guarded separately)",
         "hw_peaks": {"hbm_gb_s": HBM_PEAK_GBS, "mxu_bf16_tflops": MXU_PEAK_BF16_TFLOPS,
                      "mxu_f32_tflops": MXU_PEAK_F32_TFLOPS},
-        "sec_per_unroll": round(best_step, 6),
+        "sec_per_unroll": {k: round(v[1], 6) for k, v in variants.items()},
         "baseline": "reference-style torch CPU (per-agent loops + edge-loop consensus)",
+        "baseline_source": baseline_source,
+        "variants_iter_per_sec": vips,
+        "headline": {"value": round(best_ips, 2), "variant": best_name,
+                     "config": f"P={P} B={B} m={M} n={N} K={K} forward"},
+    }
+    record = {
+        "metric": "dadmm_iter_per_sec_per_chip",
+        "value": round(best_ips, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(best_ips / base_ips, 2),
+        "config": f"P={P} B={B} m={M} n={N} K={K} fwd best={best_name}",
+        "variants_iter_per_sec": vips,
         "baseline_iter_per_sec": round(base_ips, 4),
-    }))
+        "baseline_source": baseline_source,
+        "detail_file": "results_parity/bench_detail.json",
+    }
+    if len(json.dumps(record)) > COMPACT_LINE_MAX:
+        # Last-resort trim: keep the 12 fastest variants (full set is in the detail
+        # file either way). With current tag lengths this path is never taken —
+        # tests/test_bench_format.py asserts the full grid fits.
+        record["variants_iter_per_sec"] = dict(
+            sorted(vips.items(), key=lambda kv: -kv[1])[:12])
+        record["variants_trimmed"] = True
+    return record, detail
+
+
+def main():
+    import sys
+
+    variants = bench_tpu()
+    try:
+        base_ips, _base_step = bench_torch_reference_style()
+        baseline_source = "measured_this_run"
+    except Exception as e:  # noqa: BLE001 - fall back to the recorded round-1 measurement
+        print(f"CPU baseline measurement failed ({e}); using recorded round-1 "
+              f"constant 0.0522", file=sys.stderr, flush=True)
+        base_ips = 0.0522
+        baseline_source = "fallback_round1_constant"
+    record, detail = build_records(variants, base_ips, baseline_source)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "results_parity", "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"detail written to {detail_path}", file=sys.stderr, flush=True)
+    except OSError as e:
+        print(f"could not write bench detail: {e}", file=sys.stderr, flush=True)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -73,6 +73,17 @@ def worker(process_id: int, num_processes: int, coordinator: str,
     n_global = jax.device_count()
     tag = f"[proc {process_id}/{num_processes}]"
 
+    # Up-front shape validation (phases 2-3 hard-code Pa=8 agents): failing here
+    # gives an explanatory error instead of an opaque shard_map mismatch deep in
+    # the transposed-mesh phases (e.g. --num_processes 3).
+    _PA_DEMO = 8
+    if _PA_DEMO % num_processes or n_global % num_processes:
+        raise RuntimeError(
+            f"multihost demo needs num_processes to divide both the demo agent "
+            f"count ({_PA_DEMO}) and the global device count ({n_global} = "
+            f"num_processes * local_devices): num_processes in (1, 2, 4, 8) with "
+            f"the default --local_devices 2; got num_processes={num_processes}")
+
     # ---------------- phase 1: data-parallel training (agents=1) ----------------
     mesh = mesh_lib.make_mesh(data=n_global, agents=1)
     cfg = Config(P=5, m=8, n=16, GHyp_hidden=4, GHN_iter_num=2,
@@ -232,6 +243,12 @@ def main(argv=None):
     ap.add_argument("--local_devices", type=int, default=2)
     ap.add_argument("--steps", type=int, default=3)
     args = ap.parse_args(argv)
+
+    if 8 % args.num_processes:
+        # Same validation as worker(), but before spawning N subprocesses.
+        print(f"--num_processes must divide the demo agent count 8 "
+              f"(1, 2, 4 or 8); got {args.num_processes}", file=sys.stderr)
+        return 2
 
     if args.worker:
         worker(args.process_id, args.num_processes, args.coordinator,

@@ -256,6 +256,7 @@ class _Solver:
                     solver_dtype=cfg.dtype if cfg.dtype != "float32" else None,
                     matmul_dtype=(cfg.matmul_dtype
                                   if cfg.matmul_dtype != "float32" else None),
+                    final_only=True,  # no stacked-Y writes in the serving scan
                 )
                 op = A if factored else model.AtA
                 K = int(cfg.GHN_iter_num)
@@ -266,8 +267,7 @@ class _Solver:
                     table = jnp.broadcast_to(table, (K, cfg.P, 4))
                     st0 = dadmm_core.init_state(
                         k, b.shape[0], cfg.P, cfg.n, dtype=b.dtype)
-                    Y = unroll(st0, table, op, sensing.At_apply(A, b), adj)
-                    return Y[-1]
+                    return unroll(st0, table, op, sensing.At_apply(A, b), adj)
 
                 self._fn = jax.jit(_sharded_fn)
             else:
@@ -683,10 +683,24 @@ def main(argv=None):
         with open(os.path.join(run_dir, "args.json")) as f:
             _run_cfg = _Config.from_json(f.read())
         _md, _ma = _run_cfg.mesh_data, _run_cfg.mesh_agents
-    except OSError:
+    except (OSError, ValueError, KeyError, TypeError, json.JSONDecodeError):
+        # A missing/corrupt/partial args.json must not kill the daemon at the
+        # provisioning step with a raw traceback — fall back to a 1x1 mesh here;
+        # _Solver re-reads the file and raises the clearer error if it is truly
+        # unusable (vs merely lacking mesh fields).
         _md = _ma = 1
-    n_mesh = (int(opts.get("--mesh_data", _md))
-              * int(opts.get("--mesh_agents", _ma)))
+
+    def _int_flag(name, default):
+        val = opts.get(name, default)
+        try:
+            iv = int(val)
+        except (TypeError, ValueError):
+            raise SystemExit(f"{name} must be an integer, got {val!r}")
+        if iv < 1:
+            raise SystemExit(f"{name} must be >= 1, got {iv}")
+        return iv
+
+    n_mesh = _int_flag("--mesh_data", _md) * _int_flag("--mesh_agents", _ma)
     select_device(opts.get("--device", "tpu"),
                   host_device_count=n_mesh if n_mesh > 1 else None)
     if "--compile_cache" in opts:
@@ -700,11 +714,11 @@ def main(argv=None):
     if "--gram_mode" in opts:
         overrides["gram_mode"] = opts["--gram_mode"]
     if "--mesh_data" in opts:
-        overrides["mesh_data"] = int(opts["--mesh_data"])
+        overrides["mesh_data"] = _int_flag("--mesh_data", 1)
     if "--mesh_agents" in opts:
-        overrides["mesh_agents"] = int(opts["--mesh_agents"])
+        overrides["mesh_agents"] = _int_flag("--mesh_agents", 1)
     solver = _Solver(run_dir, opts.get("--ckpt", "best"),
-                     int(opts.get("--max_batch", 32)), overrides)
+                     _int_flag("--max_batch", 32), overrides)
 
     server_ref: dict = {}
     socketserver.ThreadingTCPServer.allow_reuse_address = True

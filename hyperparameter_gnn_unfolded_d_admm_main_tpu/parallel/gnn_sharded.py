@@ -141,6 +141,10 @@ def make_sharded_gnn_forward(mesh: Mesh, model, remat: bool = True,
                       packed, self_c, nbr_c):
         B_global = b.shape[0] * mesh.shape[DATA_AXIS]
         Atb = sensing.At_apply(A_loc, b)
+        # Same solver-dtype cast as the dense flagship apply (gnn_hypernet.py:560):
+        # with cfg.dtype='bfloat16' the scan carry and Atb run narrow here too, so
+        # agent-sharded serving honors --dtype instead of silently staying f32.
+        state, Atb = dadmm_core.cast_solver_dtype(state, Atb, model.solver_dtype)
         gram_fn = dadmm_core.make_gram_fn(
             None if model.cfg.gram_mode == "factored" else sensing.gram(A_loc),
             A_loc if model.cfg.gram_mode != "gram" else None,

@@ -40,6 +40,7 @@ def make_sharded_unroll(
     gram_mode: str = "gram",
     solver_dtype=None,
     matmul_dtype=None,
+    final_only: bool = False,
 ):
     """Build a jitted `(state, hyp_table, op, Atb, adj) -> Y` over `mesh`.
 
@@ -50,6 +51,12 @@ def make_sharded_unroll(
     is disallowed here — the operand's identity must be explicit). solver_dtype (e.g.
     'bfloat16') stores the local scan carry narrow, exactly like the dense path.
     Returns Y [K,B,P,n]. B must divide by the data axis, P by the agent axis.
+
+    final_only=True returns just the final iterate y [B,P,n] with NO stacked
+    per-iteration output in the scan — the serving fast path (mirrors the dense
+    `UnfoldedDLASSO.apply_final`, measured +26% on the dense path): XLA's DCE of a
+    stacked-but-only-[-1]-consumed scan output is not guaranteed, so the K
+    snapshot writes are structurally absent rather than hopefully elided.
     """
     if gram_mode not in ("gram", "factored"):
         raise ValueError("sharded unroll needs an explicit gram_mode: 'gram' or 'factored'")
@@ -93,14 +100,14 @@ def make_sharded_unroll(
                 nan_guard=nan_guard,
                 finite_fn=_collective_finite_fn,
             )
-            return nxt, nxt.y
+            return nxt, (None if final_only else nxt.y)
 
         if remat:
             body = jax.checkpoint(body)
         K = hyp_table.shape[0]
         ks = jnp.arange(K, dtype=jnp.float32)
-        _, Y = lax.scan(body, state, (ks, hyp_table))
-        return Y
+        st_fin, Y = lax.scan(body, state, (ks, hyp_table))
+        return st_fin.y if final_only else Y
 
     shard_fn = jax.shard_map(
         local_unroll,
@@ -112,7 +119,8 @@ def make_sharded_unroll(
             P(DATA_AXIS, AGENT_AXIS),   # Atb
             P(DATA_AXIS, AGENT_AXIS, None),  # adj rows: last dim replicated
         ),
-        out_specs=P(None, DATA_AXIS, AGENT_AXIS),
+        out_specs=(P(DATA_AXIS, AGENT_AXIS) if final_only
+                   else P(None, DATA_AXIS, AGENT_AXIS)),
         check_vma=False,
     )
     return jax.jit(shard_fn)

@@ -1,5 +1,10 @@
 """Import reference-framework (PyTorch) trained runs into this framework's format.
 
+Two reference checkpoint families are covered: the unfolded-table runs (below) and
+the progressive-GNN flagship runs (`load_reference_progressive_run` /
+`import_progressive_run` — see the section comment further down), with
+`detect_run_family` dispatching `dadmm-import` between them.
+
 The reference saves unfolded-table runs as `{model.pt, A.pt, args.pt}` under a run
 directory (`unfolded_train_new.py:146-184`): `model.pt` is an `nn.Module` state dict
 whose single entry `seq_hyp.param` is the raw cumsum-sigmoid table `[K, Pp, 4]`
@@ -48,8 +53,8 @@ def load_reference_unfolded_run(src_dir: str) -> Tuple[np.ndarray, np.ndarray, C
     if "seq_hyp.param" not in state:
         raise ValueError(
             f"{src_dir}/model.pt has keys {list(state.keys())} — not an unfolded-table "
-            "run (expected 'seq_hyp.param'; GNN-family checkpoints are LFS-missing in "
-            "the reference snapshot and are not importable)")
+            "run (expected 'seq_hyp.param'; progressive-GNN checkpoints live in "
+            "best_model.pt/final_model.pt — use import_progressive_run)")
     raw = state["seq_hyp.param"].detach().numpy().astype(np.float32)
 
     A = torch.load(os.path.join(src_dir, "A.pt"), map_location="cpu",
@@ -70,6 +75,198 @@ def load_reference_unfolded_run(src_dir: str) -> Tuple[np.ndarray, np.ndarray, C
         raise ValueError(f"table agent axis {raw.shape[1]} matches neither 1 nor P={cfg.P}")
     cfg = cfg.replace(DADMM_mode="same" if raw.shape[1] == 1 else "diff")
     return A, raw, cfg
+
+
+# ---------------------------------------------------------------------------
+# Progressive-GNN family (the reference flagship, `gnn_dlasso_progressive.py`)
+# ---------------------------------------------------------------------------
+#
+# The flagship driver saves rich checkpoints `{epoch, model_state_dict,
+# optimizer_state_dict, valid_loss, args, current_iterations}` as
+# `best_model.pt` / `final_model.pt` (`gnn_dlasso_progressive.py:288-295,315-322`)
+# plus `args.pt` and `A.pt` alongside. `model_state_dict` holds the
+# `DLASSO_GNNHyp3_Progressive` weights (`gnn_dlasso_models_progressive.py:75-129`):
+# 5 GCNConv layers (PyG stores each as `conv{i}.lin.weight` [out,in] + `conv{i}.bias`)
+# with BatchNorm1d (`bn{i}.{weight,bias,running_mean,running_var}`), a final
+# LayerNorm `norm`, the 3-Linear/3-LayerNorm `decoder` Sequential (param indices
+# 0/4/8 Linear, 2/6/10 LayerNorm), and the `fc` head. The mapping below transposes
+# every Linear/GCN weight ([out,in] -> [in,out]; this framework right-multiplies)
+# and regroups into the `models/gnn_hypernet.DLASSOGNNHyp` pytree —
+# `{"encoder": {"convs", "bn", "ln"}, "decoder": {"layers", "fc"}}` + norm_state
+# `{"bn": [{"mean","var"}]}`. The reference snapshot's own trained GNN weights are
+# git-LFS-missing, so correctness is pinned by a synthetic round-trip instead:
+# export our pytree to the torch naming (`progressive_params_to_torch_state`),
+# re-import, and require bit equality (tests/test_golden_reference.py).
+
+_DEC_PAIRS = ((0, 2), (4, 6), (8, 10))  # decoder Sequential: (Linear, LayerNorm) idx
+
+
+def map_progressive_state(sd, P: int, hidden: int, mode: str):
+    """torch `model_state_dict` -> (params pytree, norm_state) for DLASSOGNNHyp."""
+    def g(k):
+        t = sd[k]
+        arr = t.detach().numpy() if hasattr(t, "detach") else np.asarray(t)
+        return np.ascontiguousarray(arr.astype(np.float32))
+
+    convs, bn_p, bn_s = [], [], []
+    for i in range(1, 6):
+        w = g(f"encoder.conv{i}.lin.weight").T
+        if f"encoder.conv{i}.bias" in sd:
+            b = g(f"encoder.conv{i}.bias")
+        elif f"encoder.conv{i}.lin.bias" in sd:  # older PyG: bias inside lin
+            b = g(f"encoder.conv{i}.lin.bias")
+        else:
+            b = np.zeros((w.shape[1],), np.float32)
+        convs.append({"w": w, "b": b})
+        bn_p.append({"scale": g(f"encoder.bn{i}.weight"),
+                     "bias": g(f"encoder.bn{i}.bias")})
+        bn_s.append({"mean": g(f"encoder.bn{i}.running_mean"),
+                     "var": g(f"encoder.bn{i}.running_var")})
+    enc = {"convs": convs, "bn": bn_p,
+           "ln": {"scale": g("encoder.norm.weight"), "bias": g("encoder.norm.bias")}}
+    layers = []
+    for lin, lnorm in _DEC_PAIRS:
+        layers.append({
+            "w": g(f"decoder.{lin}.weight").T, "b": g(f"decoder.{lin}.bias"),
+            "ln_scale": g(f"decoder.{lnorm}.weight"),
+            "ln_bias": g(f"decoder.{lnorm}.bias"),
+        })
+    fc = {"w": g("fc.weight").T, "b": g("fc.bias")}
+    out_dim = 4 if mode == "same" else 4 * P
+    if fc["w"].shape != (hidden, out_dim):
+        raise ValueError(
+            f"fc head shape {fc['w'].shape} does not match DADMM_mode={mode!r} "
+            f"P={P} hidden={hidden} (expected {(hidden, out_dim)})")
+    if layers[0]["w"].shape[0] != P * 4 * hidden:
+        raise ValueError(
+            f"decoder input dim {layers[0]['w'].shape[0]} != P*4*hidden = "
+            f"{P * 4 * hidden} — wrong P or GHyp_hidden for this checkpoint")
+    return {"encoder": enc, "decoder": {"layers": layers, "fc": fc}}, {"bn": bn_s}
+
+
+def progressive_params_to_torch_state(params: dict, norm_state: dict) -> dict:
+    """Our DLASSOGNNHyp pytree -> reference torch state-dict naming (the export
+    direction; also the fixture generator for the round-trip import test)."""
+    import torch
+
+    t = lambda x: torch.tensor(np.ascontiguousarray(np.asarray(x, np.float32)))
+    sd = {}
+    for i, (conv, bnp, bns) in enumerate(zip(
+            params["encoder"]["convs"], params["encoder"]["bn"],
+            norm_state["bn"]), start=1):
+        sd[f"encoder.conv{i}.lin.weight"] = t(np.asarray(conv["w"]).T)
+        sd[f"encoder.conv{i}.bias"] = t(conv["b"])
+        sd[f"encoder.bn{i}.weight"] = t(bnp["scale"])
+        sd[f"encoder.bn{i}.bias"] = t(bnp["bias"])
+        sd[f"encoder.bn{i}.running_mean"] = t(bns["mean"])
+        sd[f"encoder.bn{i}.running_var"] = t(bns["var"])
+        sd[f"encoder.bn{i}.num_batches_tracked"] = torch.tensor(0)
+    sd["encoder.norm.weight"] = t(params["encoder"]["ln"]["scale"])
+    sd["encoder.norm.bias"] = t(params["encoder"]["ln"]["bias"])
+    for (lin, lnorm), lyr in zip(_DEC_PAIRS, params["decoder"]["layers"]):
+        sd[f"decoder.{lin}.weight"] = t(np.asarray(lyr["w"]).T)
+        sd[f"decoder.{lin}.bias"] = t(lyr["b"])
+        sd[f"decoder.{lnorm}.weight"] = t(lyr["ln_scale"])
+        sd[f"decoder.{lnorm}.bias"] = t(lyr["ln_bias"])
+    sd["fc.weight"] = t(np.asarray(params["decoder"]["fc"]["w"]).T)
+    sd["fc.bias"] = t(params["decoder"]["fc"]["b"])
+    return sd
+
+
+def load_reference_progressive_run(src_dir: str, ckpt_file: Optional[str] = None):
+    """Read a flagship progressive run dir -> (A [P,m,n], params, norm_state,
+    Config, meta). Prefers `best_model.pt` (the early-stopping winner) over
+    `final_model.pt`; `ckpt_file` overrides."""
+    import torch
+
+    if ckpt_file is None:
+        for cand in ("best_model.pt", "final_model.pt"):
+            if os.path.exists(os.path.join(src_dir, cand)):
+                ckpt_file = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"{src_dir} has neither best_model.pt nor final_model.pt")
+    blob = torch.load(os.path.join(src_dir, ckpt_file), map_location="cpu",
+                      weights_only=False)
+    if not isinstance(blob, dict) or "model_state_dict" not in blob:
+        raise ValueError(f"{src_dir}/{ckpt_file} is not a progressive checkpoint "
+                         "(expected a dict with 'model_state_dict')")
+    sd = blob["model_state_dict"]
+
+    ns = blob.get("args")
+    if ns is None:  # fall back to the sibling args.pt
+        ns = torch.load(os.path.join(src_dir, "args.pt"), map_location="cpu",
+                        weights_only=False)
+    d = dict(vars(ns)) if not isinstance(ns, dict) else dict(ns)
+    known = {f.name for f in Config.__dataclass_fields__.values()}
+    cfg = Config(**{k: v for k, v in d.items() if k in known})
+    # The flagship trains on FRESH per-batch topologies
+    # (`gnn_dlasso_progressive.py:181-191`) — record that regime so evaluate/serve
+    # sample fresh connected graphs rather than reconstructing a fixed one.
+    cfg = cfg.replace(hyp_mode="GHyp", case="dlasso", encoder_type="gcn",
+                      decoder_type="flattened", graph_mode="fresh", resume="")
+
+    a_path = os.path.join(src_dir, "A.pt")
+    if os.path.exists(a_path):
+        A = torch.load(a_path, map_location="cpu", weights_only=False)
+        A = A.detach().numpy().astype(np.float32)
+        if A.ndim == 4:
+            A = A[0]
+    else:
+        raise FileNotFoundError(
+            f"{src_dir}/A.pt missing — the sensing matrices are part of the "
+            "model (per-agent A^T A operators) and cannot be regenerated")
+    P, _, n = A.shape
+    if P != cfg.P or n != cfg.n:
+        raise ValueError(f"A.pt shape {A.shape} disagrees with args (P={cfg.P}, n={cfg.n})")
+    params, norm_state = map_progressive_state(
+        sd, cfg.P, int(cfg.GHyp_hidden), cfg.DADMM_mode)
+    meta = {"imported_from": os.path.abspath(os.path.join(src_dir, ckpt_file)),
+            "epoch": blob.get("epoch", "imported")}
+    for k_src, k_dst in (("valid_loss", "valid_loss"),
+                         ("final_valid_loss", "valid_loss"),
+                         ("current_iterations", "current_iterations"),
+                         ("final_iterations", "current_iterations")):
+        if k_src in blob:
+            try:
+                meta[k_dst] = float(blob[k_src])
+            except (TypeError, ValueError):
+                pass
+    return A, params, norm_state, cfg, meta
+
+
+def import_progressive_run(src_dir: str, out_dir: str,
+                           ckpt_file: Optional[str] = None) -> Dict:
+    """Convert a reference progressive-GNN run dir into this framework's layout
+    (`args.json` + `A.npy` + `best/` with {"params", "norm_state"}), servable by
+    `cli.evaluate` / `cli.serve` and resumable by `cli.gnn_progressive`."""
+    from . import checkpoint as ckpt
+
+    A, params, norm_state, cfg, meta = load_reference_progressive_run(
+        src_dir, ckpt_file)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "A.npy"), A)
+    with open(os.path.join(out_dir, "args.json"), "w") as f:
+        f.write(cfg.to_json())
+    ckpt.save(os.path.join(out_dir, "best"),
+              {"params": params, "norm_state": norm_state}, meta)
+    return {"out_dir": out_dir, "family": "progressive", "K": int(cfg.GHN_iter_num),
+            "P": cfg.P, "mode": cfg.DADMM_mode,
+            **{k: v for k, v in meta.items() if k != "imported_from"}}
+
+
+def detect_run_family(src_dir: str) -> str:
+    """'progressive' (rich best/final_model.pt checkpoints) vs 'unfolded'
+    ({model.pt with seq_hyp.param}). Dispatch for `dadmm-import`."""
+    for cand in ("best_model.pt", "final_model.pt"):
+        if os.path.exists(os.path.join(src_dir, cand)):
+            return "progressive"
+    if os.path.exists(os.path.join(src_dir, "model.pt")):
+        return "unfolded"
+    raise FileNotFoundError(
+        f"{src_dir} contains neither a progressive checkpoint "
+        "(best_model.pt/final_model.pt) nor an unfolded run (model.pt)")
 
 
 def _connected(adj: np.ndarray) -> bool:

@@ -159,6 +159,38 @@ def test_sharded_unroll_factored_and_bf16(rng):
         unfolded_sharded.make_sharded_unroll(mesh, gram_mode="auto")
 
 
+def test_sharded_unroll_final_only_matches_stacked(rng):
+    """The serving fast path (final_only=True: scan with NO stacked-Y output)
+    returns exactly the stacked unroll's Y[-1] — the sharded analogue of the
+    dense `apply_final` equivalence (cli/serve.py uses it per ADVICE r3)."""
+    mesh = _mesh()
+    B, Pn, m, n, K = 4, 8, 6, 16, 4
+    A = sensing.set_A(jax.random.key(0), Pn, m, n)
+    AtA = sensing.gram(A)
+    adj = jnp.asarray(graphs.sample_connected_er(rng, B, Pn, 0.5))
+    b = jnp.asarray(rng.standard_normal((B, Pn, m)).astype(np.float32))
+    Atb = sensing.At_apply(A, b)
+    state = dadmm_core.init_state(jax.random.key(1), B, Pn, n)
+    table = seq_hyperparam.hyp_table(
+        jnp.asarray(rng.standard_normal((K, Pn, 4)).astype(np.float32)),
+        jnp.asarray([0.1, 0.99, 0.99, 0.99]),
+    )
+    stacked = unfolded_sharded.make_sharded_unroll(mesh)(
+        state, table, AtA, Atb, adj)
+    final = unfolded_sharded.make_sharded_unroll(mesh, final_only=True)(
+        state, table, AtA, Atb, adj)
+    assert final.shape == (B, Pn, n)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(stacked)[-1],
+                               rtol=1e-6, atol=1e-6)
+    # the bf16 serving combo too (the exact config cli/serve.py builds)
+    final_bf = unfolded_sharded.make_sharded_unroll(
+        mesh, gram_mode="factored", solver_dtype="bfloat16", remat=False,
+        final_only=True)(state, table, A, Atb, adj)
+    assert final_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(final_bf, dtype=np.float32),
+                               np.asarray(stacked)[-1], rtol=0.1, atol=0.1)
+
+
 def test_sharded_dlr_unroll_matches_dense(rng):
     """The agent/data-sharded dlr solver (collective neighbor sums) reproduces the
     dense single-device unroll, both consensus schedules."""
