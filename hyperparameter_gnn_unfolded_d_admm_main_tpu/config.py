@@ -135,6 +135,15 @@ class Config:
                                        # program per distinct K — trades wasted
                                        # masked-iteration FLOPs (negligible at small P)
                                        # for zero per-K recompiles
+    stop_after_epoch: int = 0          # pause training after this many epochs (the
+                                       # 'last' checkpoint is written, then the loop
+                                       # returns) while schedules keep the FULL
+                                       # num_epochs horizon — resume with
+                                       # `--resume <run>/last`. Checkpoints carry the
+                                       # PRNG key / data-shuffle / graph-seed streams,
+                                       # so pause+resume reproduces the uninterrupted
+                                       # run exactly (tests/test_sharded_training_
+                                       # e2e.py). 0 = off.
     warmup_epochs: int = 0             # linear LR warmup over the first N epochs
                                        # (0 = off, reference-faithful); stabilizes the
                                        # attention encoder's seed sensitivity

@@ -69,6 +69,55 @@ def make_gnn_train_step(mesh: Mesh, model: DLASSOGNNHyp, tx: optax.GradientTrans
     return _step
 
 
+def make_unfolded_train_step(mesh: Mesh, model, tx: optax.GradientTransformation):
+    """GSPMD-partitioned TABLE-TIER train step (UnfoldedDLASSO): forward K-scan with
+    in-scan loss + backward + Adam update, batch over `data` / agents over `agents`,
+    table+optimizer replicated. The partitioner turns the dense-Laplacian consensus
+    (`2*L@y`) into the cross-agent collectives. Enables END-TO-END sharded training
+    of the reference's `unfolded_train_new.py` workload (multi-epoch trajectory
+    parity vs dense: tests/test_sharded_training_e2e.py)."""
+    repl = sharding(mesh)
+    s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
+    s_b = sharding(mesh, DATA_AXIS)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, s_bpa, s_bpa, s_b),
+        out_shardings=(repl, repl, repl, repl, repl),
+    )
+    def _step(params, opt_state, key, b, adj, y):
+        def loss_fn(p):
+            per_kp, hyp = model.apply_losses(p, key, b, adj, y, training=True)
+            lm, lf = losses.losses_from_per_kp(per_kp)
+            return lf, (lm, hyp)
+
+        (lf, (lm, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, lm, lf, hyp
+
+    return _step
+
+
+def make_unfolded_eval_step(mesh: Mesh, model):
+    repl = sharding(mesh)
+    s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
+    s_b = sharding(mesh, DATA_AXIS)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, s_bpa, s_bpa, s_b),
+    )
+    def _eval(params, key, b, adj, y):
+        # training=True mirrors the dense eval_step (reference validation never
+        # calls model.eval(), `unfolded_train_new.py:102-125` — table penalty active)
+        Y, hyp = model.apply(params, key, b, adj, training=True)
+        lm, lf = losses.compute_loss(Y, y)
+        nm = losses.nmse(Y[-1], y)
+        return lm, lf, nm
+
+    return _eval
+
+
 def make_gnn_eval_step(mesh: Mesh, model: DLASSOGNNHyp, masked_k: bool = False):
     repl = sharding(mesh)
     s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)

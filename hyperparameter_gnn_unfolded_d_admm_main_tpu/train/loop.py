@@ -128,6 +128,30 @@ def _ckpt_meta(epoch: int, valid_loss: float, plateau, stopper, **extra) -> dict
             "stop_best": stopper.best, "stop_num_bad": stopper.num_bad, **extra}
 
 
+def _rng_meta(key, rng: np.random.Generator, graph_seed: int) -> dict:
+    """RNG-stream state for EXACT resume: the jax PRNG key, the numpy batch-shuffle
+    generator, and the per-step graph seed. Without these, a resumed run restarts
+    every stream from the config seed and diverges from the uninterrupted
+    trajectory at the first post-resume batch."""
+    return {
+        "key_data": np.asarray(jax.random.key_data(key)).tolist(),
+        "rng_state": rng.bit_generator.state,   # JSON-clean dict of (big) ints
+        "graph_seed": int(graph_seed),
+    }
+
+
+def _restore_rng_state(meta: dict, key, rng: np.random.Generator, graph_seed: int):
+    """Inverse of `_rng_meta`; falls back to the fresh streams for old checkpoints."""
+    if "key_data" in meta:
+        key = jax.random.wrap_key_data(
+            jnp.asarray(meta["key_data"], dtype=jnp.uint32))
+    if "rng_state" in meta:
+        state = dict(meta["rng_state"])
+        if isinstance(state.get("state"), dict):  # JSON round-trips ints fine
+            rng.bit_generator.state = state
+    return key, int(meta.get("graph_seed", graph_seed))
+
+
 # --------------------------------------------------------------------------- unfolded
 
 
@@ -156,26 +180,53 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         get_graphs, close_graphs = (lambda seed: fixed_adj), (lambda: None)
     graph_seed = int(cfg.seed) * 100_003 + 17
 
-    @jax.jit
-    def train_step(params, opt_state, key, b, adj, y):
-        def loss_fn(p):
-            # In-scan loss reduction — no stacked-Y materialization on the train path.
-            per_kp, hyp = model.apply_losses(p, key, b, adj, y, training=True)
-            lm, lf = losses.losses_from_per_kp(per_kp)
-            return lf, (lm, hyp)
+    # Optional multi-chip path (mirrors train_gnn_progressive): --mesh_data /
+    # --mesh_agents > 1 runs the GSPMD-partitioned table-tier step — END-TO-END
+    # sharded training of the reference unfolded workload, trajectory-matched to
+    # the dense run (tests/test_sharded_training_e2e.py).
+    if cfg.mesh_data * cfg.mesh_agents > 1:
+        from ..parallel import mesh as mesh_lib
+        from ..parallel import shard_step
 
-        (lf, (lm, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, lm, lf, hyp
+        mesh = mesh_lib.make_mesh(data=cfg.mesh_data, agents=cfg.mesh_agents)
+        if cfg.P % cfg.mesh_agents or cfg.batch_size % cfg.mesh_data:
+            raise ValueError("P must divide by mesh_agents and batch_size by mesh_data")
+        params, opt_state = mesh_lib.replicate(mesh, (params, opt_state))
+        _sharded_train = shard_step.make_unfolded_train_step(mesh, model, tx)
+        _sharded_eval = shard_step.make_unfolded_eval_step(mesh, model)
 
-    @jax.jit
-    def eval_step(params, key, b, adj, y):
-        # Reference validation never calls model.eval() (`unfolded_train_new.py:102-125`),
-        # so the table penalty stays active: training=True here is parity, not a bug.
-        Y, hyp = model.apply(params, key, b, adj, training=True)
-        lm, lf = losses.compute_loss(Y, y)
-        nm = losses.nmse(Y[-1], y)
-        return lm, lf, nm
+        def _place(key, b, adj, y):
+            b, y, adj = mesh_lib.shard_batch(mesh, b, y, adj)
+            return jax.device_put(key, mesh_lib.sharding(mesh)), b, adj, y
+
+        def train_step(params, opt_state, key, b, adj, y):
+            key, b, adj, y = _place(key, b, adj, y)
+            return _sharded_train(params, opt_state, key, b, adj, y)
+
+        def eval_step(params, key, b, adj, y):
+            key, b, adj, y = _place(key, b, adj, y)
+            return _sharded_eval(params, key, b, adj, y)
+    else:
+        @jax.jit
+        def train_step(params, opt_state, key, b, adj, y):
+            def loss_fn(p):
+                # In-scan loss reduction — no stacked-Y materialization on the train path.
+                per_kp, hyp = model.apply_losses(p, key, b, adj, y, training=True)
+                lm, lf = losses.losses_from_per_kp(per_kp)
+                return lf, (lm, hyp)
+
+            (lf, (lm, hyp)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, lm, lf, hyp
+
+        @jax.jit
+        def eval_step(params, key, b, adj, y):
+            # Reference validation never calls model.eval() (`unfolded_train_new.py:102-125`),
+            # so the table penalty stays active: training=True here is parity, not a bug.
+            Y, hyp = model.apply(params, key, b, adj, training=True)
+            lm, lf = losses.compute_loss(Y, y)
+            nm = losses.nmse(Y[-1], y)
+            return lm, lf, nm
 
     plateau = schedule.ReduceLROnPlateau(lr=cfg.lr, factor=0.8, patience=3, min_lr=1e-6)
     stopper = schedule.EarlyStopping(patience=70)
@@ -191,6 +242,7 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         tree, meta = ckpt.restore(resume, tree)
         params, opt_state = tree["params"], tree["opt_state"]
         start_epoch = _restore_scheduler_state(meta, plateau, stopper)
+        key, graph_seed = _restore_rng_state(meta, key, rng, graph_seed)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
     final_nmse = float("nan")
@@ -239,20 +291,20 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
             f"valid {va_loss:.5f} | nmse {final_nmse:.5f} | lr {plateau.lr:.2e}"
         )
         stop = stopper.step(va_loss)
+        meta = _ckpt_meta(epoch, va_loss, plateau, stopper,
+                          **_rng_meta(key, rng, graph_seed))
         if stopper.improved:
             best_params = params
-            ckpt.save(
-                os.path.join(out_dir, "best"),
-                {"params": params, "opt_state": opt_state},
-                _ckpt_meta(epoch, va_loss, plateau, stopper),
-            )
-        ckpt.save(
-            os.path.join(out_dir, "last"),
-            {"params": params, "opt_state": opt_state},
-            _ckpt_meta(epoch, va_loss, plateau, stopper),
-        )
+            ckpt.save(os.path.join(out_dir, "best"),
+                      {"params": params, "opt_state": opt_state}, meta)
+        ckpt.save(os.path.join(out_dir, "last"),
+                  {"params": params, "opt_state": opt_state}, meta)
         if stop:
             log.cprint(f"early stopping at epoch {epoch + 1}")
+            break
+        if cfg.stop_after_epoch and epoch + 1 >= cfg.stop_after_epoch:
+            log.cprint(f"pausing after epoch {epoch + 1} (stop_after_epoch); "
+                       f"resume with --resume {os.path.join(out_dir, 'last')}")
             break
 
     close_graphs()
@@ -402,6 +454,7 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
         tree, meta = ckpt.restore(resume, tree)
         params, norm_state, opt_state = tree["params"], tree["norm_state"], tree["opt_state"]
         start_epoch = _restore_scheduler_state(meta, plateau, stopper)
+        key, graph_seed = _restore_rng_state(meta, key, rng, graph_seed)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
     graph_get, graph_close = _make_graph_source(cfg, cfg.batch_size)
@@ -468,13 +521,18 @@ def train_gnn_progressive(cfg: Config, out_dir: str, resume: Optional[str] = Non
             f"lr {plateau.lr * lr_factor:.2e}"
         )
         stop = stopper.step(va_final)
-        meta = _ckpt_meta(epoch, va_final, plateau, stopper, current_iterations=K)
+        meta = _ckpt_meta(epoch, va_final, plateau, stopper, current_iterations=K,
+                          **_rng_meta(key, rng, graph_seed))
         tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
         if stopper.improved:
             ckpt.save(os.path.join(out_dir, "best"), tree, meta)
         ckpt.save(os.path.join(out_dir, "last"), tree, meta)
         if stop:
             log.cprint(f"early stopping at epoch {epoch + 1}")
+            break
+        if cfg.stop_after_epoch and epoch + 1 >= cfg.stop_after_epoch:
+            log.cprint(f"pausing after epoch {epoch + 1} (stop_after_epoch); "
+                       f"resume with --resume {os.path.join(out_dir, 'last')}")
             break
 
     graph_close()  # joins the C++ prefetch workers (exception paths: __del__ backstop)

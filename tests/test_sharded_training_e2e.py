@@ -1,0 +1,180 @@
+"""END-TO-END sharded training, trajectory-matched against dense (VERDICT r3 #2).
+
+Every prior sharded test asserted ONE forward/train step equals dense. These run the
+FULL production training loop — fresh graphs per step, real optimizer + plateau/
+early-stop schedule, per-epoch checkpointing, mid-run pause + resume — on the
+8-device (data=2, agents=4) virtual mesh and require the whole per-epoch loss
+trajectory to match the dense single-device run:
+
+- table tier (`train_unfolded` + GSPMD `shard_step.make_unfolded_train_step`),
+  10 epochs at P=64, including a pause-at-5 + exact-resume leg (checkpoints carry
+  the PRNG/shuffle/graph-seed streams, `train/loop._rng_meta`);
+- agent-sharded flagship (`train_gnn_progressive` + `make_gnn_train_step`),
+  10 epochs with the progressive-K schedule active.
+
+An accumulating shard-dependent divergence (PRNG split, batch-norm stat, collective
+reduction bug) that one-step tests cannot see fails these. Set
+RECORD_SHARDED_E2E=/path.json to write the per-epoch deltas as a committed artifact
+(results_parity/sharded_training_e2e.json — quoted in PARITY.md).
+
+Reference anchor for the loop being distributed: `gnn_dlasso_progressive.py:160-303`
+and `unfolded_train_new.py:18-184`.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import loop
+
+pytestmark = [pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+), pytest.mark.slow, pytest.mark.mesh]
+
+# Tolerances. Dense vs GSPMD differ only by collective reduction order
+# (~1e-7/step), but optimizer feedback amplifies that chaotically over epochs:
+# measured drift on these shapes is ~1e-5 at epoch 1 growing to ~7e-3 by epoch 10
+# (recorded in results_parity/sharded_training_e2e.json). So the FIRST epoch is
+# held tight — a real sharding bug (wrong PRNG split, batch-norm stat, collective)
+# shifts losses by >1e-2 immediately — and the full trajectory gets a band wide
+# enough for benign accumulated drift but far below any systematic divergence.
+RTOL_FIRST = 1e-4
+RTOL = 2.5e-2
+
+_RECORD: dict = {}
+
+
+def _read_csv_cols(path, *cols):
+    import csv as _csv
+
+    with open(path) as f:
+        rows = list(_csv.DictReader(f))
+    return {c: np.asarray([float(r[c]) for r in rows]) for c in cols}
+
+
+def _max_rel(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(np.max(np.abs(a - b) / (np.abs(b) + 1e-12)))
+
+
+def _table_cfg(**kw):
+    base = dict(P=64, m=16, n=64, GHN_iter_num=8, batch_size=8, train_size=16,
+                test_size=8, num_epochs=10, lr=2e-3, seed=3, graph_mode="fresh",
+                native_prefetch=False)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_table_tier_sharded_trajectory_matches_dense(tmp_path):
+    cfg_dense = _table_cfg()
+    res_d = loop.train_unfolded(cfg_dense, str(tmp_path / "dense"))
+    traj_d = _read_csv_cols(tmp_path / "dense" / "losses.csv",
+                            "train_loss", "valid_loss")
+
+    cfg_sh = _table_cfg(mesh_data=2, mesh_agents=4)
+    res_s = loop.train_unfolded(cfg_sh, str(tmp_path / "sharded"))
+    traj_s = _read_csv_cols(tmp_path / "sharded" / "losses.csv",
+                            "train_loss", "valid_loss")
+
+    assert len(traj_d["valid_loss"]) == 10
+    assert len(traj_s["valid_loss"]) == 10
+    d1 = _max_rel(traj_s["valid_loss"][:1], traj_d["valid_loss"][:1])
+    assert d1 < RTOL_FIRST, f"first-epoch mismatch (sharding bug): {d1:.2e}"
+    d_tr = _max_rel(traj_s["train_loss"], traj_d["train_loss"])
+    d_va = _max_rel(traj_s["valid_loss"], traj_d["valid_loss"])
+    assert d_tr < RTOL, f"train trajectory diverged: max rel {d_tr:.2e}"
+    assert d_va < RTOL, f"valid trajectory diverged: max rel {d_va:.2e}"
+    # training actually trains (not a frozen no-op agreeing trivially)
+    assert traj_d["valid_loss"][-1] < traj_d["valid_loss"][0]
+    _RECORD["table_tier"] = {
+        "config": "P=64 m=16 n=64 K=8 B=8 mesh=(2,4) epochs=10 fresh graphs",
+        "max_rel_delta_train": d_tr, "max_rel_delta_valid": d_va,
+        "first_epoch_rel_delta": d1,
+        "dense_final_valid": float(traj_d["valid_loss"][-1]),
+        "sharded_final_valid": float(traj_s["valid_loss"][-1]),
+        "best_valid_dense": res_d["best_valid_loss"],
+        "best_valid_sharded": res_s["best_valid_loss"],
+    }
+
+    # ---- pause at epoch 5 + exact resume to 10, still matching dense ----
+    cfg_p = _table_cfg(mesh_data=2, mesh_agents=4, stop_after_epoch=5)
+    out_p = str(tmp_path / "paused")
+    loop.train_unfolded(cfg_p, out_p)
+    seg1 = _read_csv_cols(os.path.join(out_p, "losses.csv"),
+                          "epoch", "train_loss", "valid_loss")
+    assert len(seg1["epoch"]) == 5
+    loop.train_unfolded(cfg_p.replace(stop_after_epoch=0), out_p,
+                        resume=os.path.join(out_p, "last"))
+    seg2 = _read_csv_cols(os.path.join(out_p, "losses.csv"),
+                          "epoch", "train_loss", "valid_loss")
+    assert seg2["epoch"][0] == 6 and len(seg2["epoch"]) == 5
+    resumed_valid = np.concatenate([seg1["valid_loss"], seg2["valid_loss"]])
+    # exactness vs the CONTINUOUS sharded run: the RNG streams resume in place, so
+    # the paused+resumed trajectory is the same computation (CSV round-trip noise only)
+    d_resume = _max_rel(resumed_valid, traj_s["valid_loss"])
+    assert d_resume < 1e-6, f"pause+resume is not exact: max rel {d_resume:.2e}"
+    d_resume_dense = _max_rel(resumed_valid, traj_d["valid_loss"])
+    assert d_resume_dense < RTOL
+    _RECORD["table_tier_pause_resume"] = {
+        "paused_after_epoch": 5,
+        "max_rel_delta_vs_continuous_sharded": d_resume,
+        "max_rel_delta_vs_dense": d_resume_dense,
+    }
+
+
+def _flagship_cfg(**kw):
+    base = dict(P=64, m=16, n=64, GHyp_hidden=8, GHN_iter_num=6, batch_size=8,
+                train_size=16, test_size=8, num_epochs=10, lr=1e-3, seed=4,
+                min_iterations=1, native_prefetch=False)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_flagship_sharded_trajectory_matches_dense(tmp_path):
+    cfg_dense = _flagship_cfg()
+    loop.train_gnn_progressive(cfg_dense, str(tmp_path / "dense"))
+    traj_d = _read_csv_cols(tmp_path / "dense" / "valid_losses.csv",
+                            "mean", "final")
+    ktraj_d = _read_csv_cols(tmp_path / "dense" / "epoch_times.csv", "K")
+
+    cfg_sh = _flagship_cfg(mesh_data=2, mesh_agents=4)
+    loop.train_gnn_progressive(cfg_sh, str(tmp_path / "sharded"))
+    traj_s = _read_csv_cols(tmp_path / "sharded" / "valid_losses.csv",
+                            "mean", "final")
+    ktraj_s = _read_csv_cols(tmp_path / "sharded" / "epoch_times.csv", "K")
+
+    assert len(traj_d["final"]) == 10 and len(traj_s["final"]) == 10
+    # the progressive schedule actually progressed (K grew) identically
+    np.testing.assert_array_equal(ktraj_s["K"], ktraj_d["K"])
+    assert ktraj_d["K"][-1] > ktraj_d["K"][0]
+    d1 = _max_rel(traj_s["final"][:1], traj_d["final"][:1])
+    assert d1 < RTOL_FIRST, f"first-epoch mismatch (sharding bug): {d1:.2e}"
+    d_f = _max_rel(traj_s["final"], traj_d["final"])
+    d_m = _max_rel(traj_s["mean"], traj_d["mean"])
+    assert d_f < RTOL, f"final-loss trajectory diverged: max rel {d_f:.2e}"
+    assert d_m < RTOL, f"mean-loss trajectory diverged: max rel {d_m:.2e}"
+    assert traj_d["final"][-1] < traj_d["final"][0]
+    _RECORD["flagship"] = {
+        "config": "P=64 m=16 n=64 h=8 Kmax=6 B=8 mesh=(2,4) epochs=10 "
+                  "progressive schedule, fresh graphs",
+        "max_rel_delta_final": d_f, "max_rel_delta_mean": d_m,
+        "first_epoch_rel_delta": d1,
+        "K_schedule": [int(k) for k in ktraj_d["K"]],
+        "dense_final_valid": float(traj_d["final"][-1]),
+        "sharded_final_valid": float(traj_s["final"][-1]),
+    }
+
+
+def test_zz_record_artifact():
+    """Runs last (alphabetical zz): write the measured deltas when recording."""
+    path = os.environ.get("RECORD_SHARDED_E2E")
+    if not path:
+        pytest.skip("set RECORD_SHARDED_E2E=/path.json to record")
+    if not _RECORD:
+        pytest.skip("no measurements collected (earlier tests skipped?)")
+    with open(path, "w") as f:
+        json.dump(_RECORD, f, indent=1)
