@@ -32,6 +32,17 @@ dlr runs (the saved config's `case` is "dlr") serve the regression fit instead:
     {"x": [B x P x d], "y": [B x P]}  ->  {"a": [B x P x d], "w": [B x P], ...}
 where (a, w) are the per-agent fitted weights/bias after the K-iteration unroll.
 
+Classic segment-table runs (reference `dlasso.py:59-102` artifacts: `params_*.npy`
+tables, detected structurally — no msgpack checkpoint) serve the color-sweep
+solver (`models/classic.py`; the reference's only inference surface for this
+family is the one-shot `dlasso.py --eval` script, `dlasso.py:41-50`):
+    {"b": [B x m_global]}  ->  {"y_hat": [B x n_global], ...}
+on the run's cached color schedule ("adj" overrides rejected — the learned table
+is specific to its Gauss-Seidel sweep order). Binary frames use P=1. Classic dlr
+(6-hyperparameter) tables are refused with a pointer to `dadmm-classic-dlr
+--eval` — that case is an MNIST-regression curve artifact in the reference, not
+a request/response surface.
+
 `{"cmd": "ping"}` health-checks, `{"cmd": "shutdown"}` stops the server. Serving knobs
 (`--dtype bfloat16`, `--gram_mode factored`) match `cli.evaluate`'s.
 
@@ -119,6 +130,8 @@ class _Solver:
     """Checkpoint loaded once; one jitted solve at a fixed [max_batch, P, m] shape."""
 
     def __init__(self, run_dir: str, ckpt_name: str, max_batch: int, overrides: dict):
+        import glob
+
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -130,8 +143,33 @@ class _Solver:
         from ..ops import graphs
         from ..utils import checkpoint as ckpt
 
-        with open(os.path.join(run_dir, "args.json")) as f:
-            cfg = Config.from_json(f.read())
+        args_path = os.path.join(run_dir, "args.json")
+        cfg = None
+        if os.path.exists(args_path):
+            with open(args_path) as f:
+                cfg = Config.from_json(f.read())
+        # Classic segment-table runs (train/classic_loop.py, reference
+        # `dlasso.py:59-102`) save `params_*.npy` hyp tables, not msgpack
+        # checkpoints — detect them structurally so `dadmm-serve <classic_run>`
+        # just works (older classic artifacts may even lack args.json; the
+        # filename encodes P/prob/K).
+        params_files = sorted(glob.glob(os.path.join(run_dir, "params_*.npy")))
+        has_ckpt = any(
+            os.path.exists(os.path.join(run_dir, name, "state.msgpack"))
+            for name in {ckpt_name, "best", "last"})
+        if params_files and not has_ckpt:
+            if cfg is None:
+                cfg = Config()
+            for k, v in overrides.items():
+                cfg = cfg.replace(**{k: v})
+            self.cfg = cfg
+            self.max_batch = max_batch
+            self._mesh_agent_sharded = False
+            self._init_classic(run_dir, params_files, overrides)
+            return
+        if cfg is None:
+            raise SystemExit(f"{run_dir} has no args.json (and no classic "
+                             "params_*.npy tables)")
         for k, v in overrides.items():
             cfg = cfg.replace(**{k: v})
         self.cfg = cfg
@@ -297,6 +335,121 @@ class _Solver:
         self._lock = threading.Lock()  # jit dispatch is thread-safe but keep FIFO
         self.warmup()
 
+    def _classic_table(self, path):
+        """Load + validate a classic hyp table [K, P, 4] (rho, alpha, tau, eta)."""
+        import numpy as np
+
+        table = np.load(path).astype(np.float32)
+        if table.ndim != 3 or table.shape[1] != self.cfg.P:
+            raise SystemExit(f"{path}: expected a [K, P={self.cfg.P}, 4] classic "
+                             f"hyp table, got {list(table.shape)}")
+        if table.shape[-1] == 6:
+            raise SystemExit(
+                "this is a classic dlr (6-hyperparameter) table: the classic dlr "
+                "case is an MNIST-regression EVAL artifact in the reference "
+                "(`dlr.py:44-57` — per-iteration curves, no request/response "
+                "surface); evaluate it with `dadmm-classic-dlr --eval`. The "
+                "request-serving dlr surface is the unfolded dlr family daemon.")
+        if table.shape[-1] != 4:
+            raise SystemExit(f"{path}: last axis must be 4 hyperparameters, "
+                             f"got {table.shape[-1]}")
+        return table
+
+    def _init_classic(self, run_dir: str, params_files, overrides: dict):
+        """Classic color-sweep D-ADMM serving (reference `models.py:332-440`
+        semantics; the reference's only inference surface for this family is the
+        one-shot `dlasso.py --eval` script — here it serves requests).
+
+        Request: {"b": [B x m_global]} (the global 500-dim observation; the
+        solver row-partitions it across agents). Response y_hat = mean over
+        agents of the final primal [B x n_global]. The topology/coloring is the
+        run's cached color schedule (deterministic from the config seed, exactly
+        like training — `train/classic_loop.py:load_or_create_graph`), so "adj"
+        overrides are rejected: a classic table is meaningful only on the
+        Gauss-Seidel sweep order it was trained with."""
+        import re
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models import classic
+        from ..ops import classic_data
+        from ..train import classic_loop
+
+        cfg = self.cfg
+        for k in ("dtype", "gram_mode"):
+            if k in overrides:
+                print(f"note: classic serving runs dense float32 color sweeps — "
+                      f"--{k} is ignored for this family", file=sys.stderr)
+        if cfg.mesh_data * cfg.mesh_agents > 1:
+            raise SystemExit(
+                "classic serving is single-device: the Gauss-Seidel color sweep "
+                "is sequential over colors with a detached neighbor field "
+                "(models/classic.py) and runs at reference shape P=5 — use the "
+                "unfolded family for mesh-sharded serving")
+        # Prefer the longest trained segment table (size=K in the filename).
+        def _size(p):
+            m = re.search(r"size=(\d+)", os.path.basename(p))
+            return int(m.group(1)) if m else 10 ** 9  # no suffix = final full table
+        self._params_path = max(params_files, key=_size)
+        m_p = re.search(r"P=(\d+)", os.path.basename(self._params_path))
+        if m_p and int(m_p.group(1)) != cfg.P:
+            # args.json missing/stale: trust the artifact's own filename
+            cfg = cfg.replace(P=int(m_p.group(1)))
+        m_prob = re.search(r"prob=([0-9.]+)", os.path.basename(self._params_path))
+        if m_prob:
+            cfg = cfg.replace(graph_prob=float(m_prob.group(1)))
+        self.cfg = cfg
+        self.case = "classic"
+        table = self._classic_table(self._params_path)
+
+        key = jax.random.key(int(cfg.seed))
+        k_A, _, _ = jax.random.split(key, 3)   # same derivation as the trainer
+        A_global = classic_data.global_sensing_matrix(k_A)
+        solver = classic.DADMMLASSOClassic(A_global, cfg.P)
+        sched = classic_loop.load_or_create_graph(cfg)
+        self.P, self.m, self.n = cfg.P, A_global.shape[0], solver.n
+        self.K = int(table.shape[0])
+        self._table = jnp.asarray(table)
+        self._run_dir = run_dir
+        self.default_adj = None
+        # table as a jit ARGUMENT -> hot reload without recompiling (a reload
+        # with a different K recompiles once: the scan length is static)
+        self._fn = jax.jit(
+            lambda t, b: jnp.mean(solver.run(t, b, sched)[0], axis=0))
+        self._key = jax.random.key(int(cfg.seed) + 777)
+        self._jnp, self._np, self._jax = jnp, np, jax
+        self._lock = threading.Lock()
+        b0 = jnp.zeros((self.max_batch, self.m), jnp.float32)
+        self._jax.block_until_ready(self._fn(self._table, b0))
+
+    def solve_classic(self, b_np, adj_np=None):
+        """One classic solve: b [B, m_global] (or [m_global]) -> y_hat [B, n]."""
+        np, jnp = self._np, self._jnp
+        if adj_np is not None:
+            raise ValueError(
+                "classic serving uses the run's cached color schedule (the "
+                "learned table is specific to its Gauss-Seidel sweep order); "
+                "per-request adj overrides are not supported")
+        if b_np.ndim == 1:
+            b_np = b_np[None]
+        B = b_np.shape[0]
+        if b_np.shape[1:] != (self.m,):
+            raise ValueError(f"b must be [B,{self.m}] (global observation), "
+                             f"got {list(b_np.shape)}")
+        out = []
+        with self._lock:
+            for lo in range(0, B, self.max_batch):
+                c = b_np[lo:lo + self.max_batch]
+                n_real = c.shape[0]
+                pad = self.max_batch - n_real
+                if pad:
+                    c = np.concatenate([c, np.zeros((pad, self.m), c.dtype)])
+                y = self._fn(self._table, jnp.asarray(c, jnp.float32))
+                out.append(np.asarray(y)[:n_real])
+        return np.concatenate(out), B
+
     def _restore(self, ckpt_name: str):
         """Restore the checkpoint tree (structure fixed by _tree_template)."""
         from ..utils import checkpoint as ckpt
@@ -310,6 +463,17 @@ class _Solver:
         is a jit argument with unchanged shapes/dtypes). Serialized behind the
         solver lock so in-flight solves finish on the old weights."""
         t0 = time.perf_counter()
+        if self.case == "classic":
+            # re-read the table file ('best'/'last' = the serving table; any
+            # other name = a params_*.npy relative to the run dir)
+            path = (self._params_path if ckpt_name in ("best", "last")
+                    else os.path.join(self._run_dir, ckpt_name))
+            new_table = self._classic_table(path)
+            with self._lock:
+                self._table = self._jnp.asarray(new_table)
+                self.K = int(new_table.shape[0])
+            return {"ok": True, "reloaded": os.path.basename(path),
+                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 3)}
         new_tree = self._restore(ckpt_name)        # read/validate BEFORE locking
         with self._lock:
             self._tree = new_tree
@@ -581,8 +745,16 @@ def _make_handler(solver: _Solver, server_ref: dict,
                 if solver.case == "dlr":
                     raise ValueError(
                         "binary frames serve the dlasso/GNN families; dlr uses JSON")
-                b = np.frombuffer(payload, "<f4").reshape(B, P, m)
-                y_hat, B_out = solver.solve(b)
+                if solver.case == "classic":
+                    # classic observations are global [B, m]: frames carry P=1
+                    if P != 1:
+                        raise ValueError(
+                            f"classic frames need P=1 (global b), got P={P}")
+                    b = np.frombuffer(payload, "<f4").reshape(B, m)
+                    y_hat, B_out = solver.solve_classic(b)
+                else:
+                    b = np.frombuffer(payload, "<f4").reshape(B, P, m)
+                    y_hat, B_out = solver.solve(b)
                 arr = np.ascontiguousarray(y_hat, dtype="<f4")
                 self.wfile.write(struct.pack("<4sII", BIN_MAGIC, B_out,
                                              arr.shape[1]) + arr.tobytes())
@@ -642,6 +814,15 @@ def _make_handler(solver: _Solver, server_ref: dict,
                                if "adj" in req else None)
                         a, w, B = solver.solve_dlr(x, y, adj)
                         resp = {"a": a.tolist(), "w": w.tolist(), "batch": B,
+                                "K": solver.K,
+                                "latency_ms": round(
+                                    (time.perf_counter() - t0) * 1e3, 3)}
+                    elif solver.case == "classic":
+                        b = np.asarray(req["b"], np.float32)
+                        adj = (np.asarray(req["adj"], np.float32)
+                               if "adj" in req else None)
+                        y_hat, B = solver.solve_classic(b, adj)
+                        resp = {"y_hat": y_hat.tolist(), "batch": B,
                                 "K": solver.K,
                                 "latency_ms": round(
                                     (time.perf_counter() - t0) * 1e3, 3)}
