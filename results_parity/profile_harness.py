@@ -48,14 +48,21 @@ def _parse_xspace(trace_dir):
         stat_meta = {m_id: m.name for m_id, m in plane.stat_metadata.items()}
         ops = {}
         for line in plane.lines:
-            # XLA op lines carry the per-op execution events; step lines and
-            # run-loop lines would double-count the same wall time.
-            lname = line.name.lower()
-            if "step" in lname or "run" in lname:
+            # Count ONLY the leaf op line: 'Steps' / 'XLA Modules' / 'TC
+            # Overlay' are envelopes of the same wall time, and 'Async XLA Ops'
+            # (DMA copies) overlap compute — folding any of them in would
+            # double-count. Device planes without the named lines (CPU smoke
+            # runs) fall back to counting everything.
+            named = {l.name for l in plane.lines}
+            if "XLA Ops" in named and line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 m = meta.get(ev.metadata_id)
                 name = m.name if m else str(ev.metadata_id)
+                low = name.lower()
+                # control-flow envelopes nest their body ops on the same line
+                if low.startswith(("jit", "%while", "%conditional", "%call")):
+                    continue
                 cat = ""
                 for st in ev.stats:
                     sname = stat_meta.get(st.metadata_id, "")
