@@ -638,6 +638,7 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         tree, meta = ckpt.restore(resume, tree)
         params, norm_state, opt_state = tree["params"], tree["norm_state"], tree["opt_state"]
         start_epoch = _restore_scheduler_state(meta, plateau, stopper)
+        key, _ = _restore_rng_state(meta, key, rng, 0)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
     best_params = params
@@ -669,7 +670,8 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         log.cprint(f"epoch {epoch + 1}/{cfg.num_epochs} | train {tr_loss:.5f} | "
                    f"valid {va_loss:.5f} | lr {plateau.lr:.2e}")
         stop = stopper.step(va_loss)
-        meta = _ckpt_meta(epoch, va_loss, plateau, stopper)
+        meta = _ckpt_meta(epoch, va_loss, plateau, stopper,
+                          **_rng_meta(key, rng, 0))
         tree = {"params": params, "norm_state": norm_state, "opt_state": opt_state}
         if stopper.improved:
             best_params = params
@@ -677,6 +679,10 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
         ckpt.save(os.path.join(out_dir, "last"), tree, meta)
         if stop:
             log.cprint(f"early stopping at epoch {epoch + 1}")
+            break
+        if cfg.stop_after_epoch and epoch + 1 >= cfg.stop_after_epoch:
+            log.cprint(f"pausing after epoch {epoch + 1} (stop_after_epoch); "
+                       f"resume with --resume {os.path.join(out_dir, 'last')}")
             break
 
     csv.write(os.path.join(out_dir, "losses.csv"))
