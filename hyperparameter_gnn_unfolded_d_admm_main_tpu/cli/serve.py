@@ -268,8 +268,10 @@ class _Solver:
                         training=False).Y[-1],
                     in_shardings=(repl, repl, dp, dp))
             else:
-                self._fn = jax.jit(lambda tree, k, b, adj: model.apply(
-                    tree["params"], tree["norm_state"], k, b, adj, training=False).Y[-1])
+                # final-iterate-only unroll (no per-iteration Y snapshot in the
+                # scan — same serving lever as the table tier's apply_final)
+                self._fn = jax.jit(lambda tree, k, b, adj: model.apply_final(
+                    tree["params"], tree["norm_state"], k, b, adj, training=False))
         else:
             model = UnfoldedDLASSO(A, cfg)
             params = model.init()

@@ -401,6 +401,40 @@ class DLASSOGNNHypOneShot(object):
                                         training=training, k_active=k_active)
         return per_kp, hyp_last, state
 
+    def apply_final(self, params, state, key, b, adj,
+                    training_iterations: Optional[int] = None,
+                    training: bool = False) -> jax.Array:
+        """Serving fast path: final iterate `y [B, P, n]` only — the scan emits
+        NO stacked per-iteration output, so the [K,B,P,n] materialization is
+        structurally absent (the table-tier analogue measured +26%,
+        `UnfoldedDLASSO.apply_final`). Trajectory-identical to `apply(...).Y[-1]`
+        (tests/test_gnn_hypernet.py)."""
+        K = self.K if training_iterations is None else int(training_iterations)
+        B = b.shape[0]
+        Atb = sensing.At_apply(self.A, b)
+        deg = graph_ops.degrees(adj)
+        table_k = jnp.moveaxis(
+            self.table(params, b, adj, K, training=training), 1, 0)
+        st0 = dadmm_core.init_state(key, B, self.P, self.n, dtype=b.dtype)
+        st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
+        nan_guard = self.cfg.nan_guard
+
+        def body(st, xs):
+            k, hyp_k = xs
+            AtAy = self.gram_fn(st.y)
+            hyp_k = self._step_hyp(params, st, AtAy, Atb, hyp_k)
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, deg,
+                hyp_k[..., 0:1], hyp_k[..., 1:2], hyp_k[..., 2:3], hyp_k[..., 3:4],
+                dadmm_core.gnn_clamps(k), adj, nan_guard=nan_guard,
+            )
+            return nxt, None
+
+        ks = jnp.arange(table_k.shape[0], dtype=jnp.int32)
+        st_fin, _ = jax.lax.scan(body, st0, (ks, table_k))
+        del state  # no norm state in this tier
+        return st_fin.y
+
 
 class DLASSOGNNHypOneShotCorrected(DLASSOGNNHypOneShot):
     """One-shot table + cheap state-conditioned correction (`--hyp_mode GHyp1c`).
@@ -589,6 +623,49 @@ class DLASSOGNNHyp(object):
         else:
             hyp_last = tuple(h[-1] for h in hyps)
         return GNNHypOutput(Y=Y, hyp_last=hyp_last, state=bn_state)
+
+    def apply_final(
+        self,
+        params: dict,
+        state: dict,
+        key: jax.Array,
+        b: jax.Array,
+        adj: jax.Array,
+        training_iterations: Optional[int] = None,
+        training: bool = False,
+        topo=None,
+    ) -> jax.Array:
+        """Serving fast path: final iterate `y [B, P, n]` only — no stacked-Y
+        output in the scan (the table-tier analogue measured +26%; serving
+        consumes Y[-1] exclusively). Eval-mode norm state is read-only, so no
+        state is returned. Trajectory-identical to `apply(...).Y[-1]`."""
+        K = self.K if training_iterations is None else int(training_iterations)
+        B = b.shape[0]
+        Atb = sensing.At_apply(self.A, b)
+        deg, norm_adj, consensus_fn, adj = _topology_ops(adj, topo, self.cfg.encoder_type)
+        k_init, k_scan = jax.random.split(key)
+        st0 = dadmm_core.init_state(k_init, B, self.P, self.n, dtype=b.dtype)
+        st0, Atb = dadmm_core.cast_solver_dtype(st0, Atb, self.solver_dtype)
+        nan_guard = self.cfg.nan_guard
+
+        def body(carry, k):
+            st, bn_state = carry
+            kk = jax.random.fold_in(k_scan, k)
+            AtAy = self.gram_fn(st.y)
+            (alpha, tau, rho, eta), new_bn = self._hyper(
+                params, bn_state, kk, AtAy, Atb, norm_adj, adj, training
+            )
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, deg, alpha, tau, rho, eta,
+                dadmm_core.gnn_clamps(k), adj, consensus_fn=consensus_fn,
+                nan_guard=nan_guard,
+            )
+            return (nxt, new_bn), None
+
+        (st_fin, _), _ = jax.lax.scan(
+            body, (st0, state), jnp.arange(K, dtype=jnp.int32)
+        )
+        return st_fin.y
 
     def apply_losses(
         self,

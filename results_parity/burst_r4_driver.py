@@ -84,7 +84,10 @@ def shutdown(ready, proc):
 
 def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    only = set(sys.argv[1:])   # optional config-label filter (rerun/continue)
     for label, run_dir, extra in CONFIGS:
+        if only and label not in only:
+            continue
         t0 = time.time()
         print(f"=== {label}: starting daemon ({run_dir})", file=sys.stderr)
         proc, ready = start_daemon(run_dir, extra)

@@ -477,3 +477,43 @@ def test_oneshot_nodewise_head(rng):
         params_c, opt, lf = step(params_c, opt, k)
         first = float(lf) if first is None else first
     assert float(lf) < first
+
+
+def test_apply_final_matches_stacked_last(rng):
+    """The serving fast path (scan with NO stacked-Y output) returns exactly
+    apply(...).Y[-1] — for the flagship AND the one-shot tiers (GHyp1/GHyp1c,
+    which inherit their own apply_final including the GHyp1c corrector hook)."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import (
+        DLASSOGNNHypOneShot, DLASSOGNNHypOneShotCorrected)
+
+    cfg, model, params, state, b, y, adj = _setup(rng)
+    key = jax.random.key(9)
+    want = model.apply(params, state, key, b, adj, training=False).Y[-1]
+    got = model.apply_final(params, state, key, b, adj, training=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # truncated-K serving too
+    want3 = model.apply(params, state, key, b, adj, training_iterations=3,
+                        training=False).Y[-1]
+    got3 = model.apply_final(params, state, key, b, adj, training_iterations=3,
+                             training=False)
+    np.testing.assert_array_equal(np.asarray(got3), np.asarray(want3))
+
+    for cls in (DLASSOGNNHypOneShot, DLASSOGNNHypOneShotCorrected):
+        m2 = cls(model.A, cfg)
+        p2, s2 = m2.init(jax.random.key(3))
+        want = m2.apply(p2, s2, key, b, adj, training=False).Y[-1]
+        got = m2.apply_final(p2, s2, key, b, adj, training=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_apply_final_bf16_matches_stacked_last(rng):
+    """apply_final preserves the solver-dtype cast (bf16 serving mode)."""
+    cfg, model, params, state, b, y, adj = _setup(rng)
+    cfg16 = cfg.replace(dtype="bfloat16")
+    m16 = DLASSOGNNHyp(model.A, cfg16)
+    key = jax.random.key(10)
+    want = m16.apply(params, state, key, b, adj, training=False).Y[-1]
+    got = m16.apply_final(params, state, key, b, adj, training=False)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.float32),
+                                  np.asarray(want, dtype=np.float32))
