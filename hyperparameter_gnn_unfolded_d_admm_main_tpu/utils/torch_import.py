@@ -256,6 +256,95 @@ def import_progressive_run(src_dir: str, out_dir: str,
             **{k: v for k, v in meta.items() if k != "imported_from"}}
 
 
+def _reference_namespace(cfg: Config):
+    """Config -> argparse.Namespace with the reference's flag names (the full
+    field set — reference scripts read attributes ad hoc)."""
+    import argparse
+
+    return argparse.Namespace(**dict(cfg.__dict__))
+
+
+def export_unfolded_run(run_dir: str, out_dir: str,
+                        ckpt_name: str = "best") -> Dict:
+    """Reverse migration: a natively trained unfolded-table run -> the reference
+    torch layout `{model.pt, A.pt, args.pt}` (`unfolded_train_new.py:146-184`),
+    loadable by the reference's own `DLASSO_unfolded` + `seq_hyperparam` classes
+    (the raw cumsum table is the state dict's single `seq_hyp.param` entry)."""
+    import torch
+
+    from . import checkpoint as ckpt
+
+    with open(os.path.join(run_dir, "args.json")) as f:
+        cfg = Config.from_json(f.read())
+    A = np.load(os.path.join(run_dir, "A.npy"))
+    tree, _ = ckpt.restore_partial(
+        os.path.join(run_dir, ckpt_name),
+        {"params": {"seq_hyp": np.zeros((cfg.GHN_iter_num,
+                                         1 if cfg.DADMM_mode == "same" else cfg.P,
+                                         4), np.float32)}})
+    raw = np.asarray(tree["params"]["seq_hyp"], np.float32)
+    os.makedirs(out_dir, exist_ok=True)
+    torch.save({"seq_hyp.param": torch.tensor(raw)},
+               os.path.join(out_dir, "model.pt"))
+    torch.save(torch.tensor(np.asarray(A, np.float32)[None]),
+               os.path.join(out_dir, "A.pt"))
+    torch.save(_reference_namespace(cfg), os.path.join(out_dir, "args.pt"))
+    return {"out_dir": out_dir, "family": "unfolded", "K": int(raw.shape[0]),
+            "P": cfg.P, "mode": cfg.DADMM_mode}
+
+
+def export_progressive_run(run_dir: str, out_dir: str,
+                           ckpt_name: str = "best") -> Dict:
+    """Reverse migration: a natively trained flagship run -> the reference's
+    rich-checkpoint layout (`best_model.pt` dict per
+    `gnn_dlasso_progressive.py:288-295` + `A.pt` + `args.pt`). Only the
+    reference architecture exports (encoder_type='gcn',
+    decoder_type='flattened', hyp_mode='GHyp'); the TPU-only heads (nodewise,
+    mpnn/attention, one-shot tiers) have no reference-side class to load into."""
+    import jax
+    import torch
+
+    from ..models.gnn_hypernet import DLASSOGNNHyp
+    from . import checkpoint as ckpt
+
+    with open(os.path.join(run_dir, "args.json")) as f:
+        cfg = Config.from_json(f.read())
+    if (cfg.hyp_mode != "GHyp" or cfg.encoder_type != "gcn"
+            or cfg.decoder_type != "flattened"):
+        raise ValueError(
+            f"only the reference architecture exports (hyp_mode=GHyp, "
+            f"encoder_type=gcn, decoder_type=flattened); this run is "
+            f"hyp_mode={cfg.hyp_mode!r} encoder={cfg.encoder_type!r} "
+            f"decoder={cfg.decoder_type!r} — beyond-reference tiers have no "
+            "reference-side class to load into")
+    import jax.numpy as jnp
+
+    A = jnp.asarray(np.load(os.path.join(run_dir, "A.npy")))
+    model = DLASSOGNNHyp(A, cfg)
+    p_init, s_init = model.init(jax.random.key(0))
+    tree, meta = ckpt.restore_partial(
+        os.path.join(run_dir, ckpt_name),
+        {"params": p_init, "norm_state": s_init})
+    sd = progressive_params_to_torch_state(tree["params"], tree["norm_state"])
+    meta = meta or {}
+    os.makedirs(out_dir, exist_ok=True)
+    ns = _reference_namespace(cfg)
+    torch.save({
+        "epoch": meta.get("epoch", 0),
+        "model_state_dict": sd,
+        "optimizer_state_dict": {},
+        "valid_loss": meta.get("valid_loss", float("nan")),
+        "args": ns,
+        "current_iterations": meta.get("current_iterations", cfg.GHN_iter_num),
+    }, os.path.join(out_dir, "best_model.pt"))
+    torch.save(torch.tensor(np.asarray(A, np.float32)[None]),
+               os.path.join(out_dir, "A.pt"))
+    torch.save(ns, os.path.join(out_dir, "args.pt"))
+    return {"out_dir": out_dir, "family": "progressive",
+            "K": int(cfg.GHN_iter_num), "P": cfg.P, "mode": cfg.DADMM_mode,
+            "epoch": meta.get("epoch", 0)}
+
+
 def detect_run_family(src_dir: str) -> str:
     """'progressive' (rich best/final_model.pt checkpoints) vs 'unfolded'
     ({model.pt with seq_hyp.param}). Dispatch for `dadmm-import`."""
