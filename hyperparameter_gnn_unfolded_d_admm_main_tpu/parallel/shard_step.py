@@ -118,6 +118,64 @@ def make_unfolded_eval_step(mesh: Mesh, model):
     return _eval
 
 
+def make_dlr_train_step(mesh: Mesh, model, tx: optax.GradientTransformation,
+                        use_gnn: bool):
+    """GSPMD-partitioned dlr train step (beyond-reference family,
+    models/unfolded_dlr.py): x/y/adj shard over (data, agents); params/opt
+    replicated; the partitioner turns the neighbor sums into collectives.
+    `use_gnn` selects the state-conditioned DLRGNNHyp signature (threads
+    norm_state) vs the stateless table/one-shot tiers."""
+    from ..train import losses as losses_lib
+
+    repl = sharding(mesh)
+    s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, repl, s_bpa, s_bpa, s_bpa),
+        out_shardings=(repl, repl, repl, repl, repl),
+    )
+    def _step(params, norm_state, opt_state, key, x, y, adj):
+        def loss_fn(p):
+            if use_gnn:
+                per_kp, new_state = model.apply_losses(p, norm_state, key, x, y,
+                                                       adj, training=True)
+            else:
+                per_kp = model.apply_losses(p, key, x, y, adj, training=True)[0]
+                new_state = norm_state
+            lm, lf = losses_lib.losses_from_per_kp(per_kp)
+            return lf, (lm, new_state)
+
+        (lf, (lm, new_state)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, opt_state, lm, lf
+
+    return _step
+
+
+def make_dlr_eval_step(mesh: Mesh, model, use_gnn: bool):
+    from ..train import losses as losses_lib
+
+    repl = sharding(mesh)
+    s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, s_bpa, s_bpa, s_bpa),
+    )
+    def _eval(params, norm_state, key, x, y, adj):
+        if use_gnn:
+            per_kp, _ = model.apply_losses(params, norm_state, key, x, y, adj,
+                                           training=False)
+        else:
+            # training=True mirrors the dense eval_step (table-tier penalty
+            # stays active at eval, reference parity — train/loop.py)
+            per_kp, _ = model.apply_losses(params, key, x, y, adj, training=True)
+        return losses_lib.losses_from_per_kp(per_kp)
+
+    return _eval
+
+
 def make_gnn_eval_step(mesh: Mesh, model: DLASSOGNNHyp, masked_k: bool = False):
     repl = sharding(mesh)
     s_bpa = sharding(mesh, DATA_AXIS, AGENT_AXIS)

@@ -601,31 +601,61 @@ def train_unfolded_dlr(cfg: Config, out_dir: str, resume: Optional[str] = None) 
     opt_state = tx.init(params)
     adj = _fixed_graph_batch(int(cfg.seed), cfg.batch_size, cfg.P, cfg.graph_prob)
 
-    @jax.jit
-    def train_step(params, norm_state, opt_state, key, x, y):
-        def loss_fn(p):
+    # Optional multi-chip path (mirrors train_unfolded / train_gnn_progressive):
+    # GSPMD-partitioned dlr step over a (data, agents) mesh.
+    if cfg.mesh_data * cfg.mesh_agents > 1:
+        from ..parallel import mesh as mesh_lib
+        from ..parallel import shard_step
+
+        mesh = mesh_lib.make_mesh(data=cfg.mesh_data, agents=cfg.mesh_agents)
+        if cfg.P % cfg.mesh_agents or cfg.batch_size % cfg.mesh_data:
+            raise ValueError("P must divide by mesh_agents and batch_size by mesh_data")
+        params, norm_state, opt_state = mesh_lib.replicate(
+            mesh, (params, norm_state, opt_state))
+        _sharded_train = shard_step.make_dlr_train_step(mesh, model, tx, use_gnn)
+        _sharded_eval = shard_step.make_dlr_eval_step(mesh, model, use_gnn)
+        s_bpa = mesh_lib.sharding(mesh, mesh_lib.DATA_AXIS, mesh_lib.AGENT_AXIS)
+
+        def _place(key, x, y):
+            key = jax.device_put(key, mesh_lib.sharding(mesh))
+            x = jax.device_put(x, s_bpa)
+            y = jax.device_put(y, s_bpa)
+            adj_s = jax.device_put(adj, s_bpa)
+            return key, x, y, adj_s
+
+        def train_step(params, norm_state, opt_state, key, x, y):
+            key, x, y, adj_s = _place(key, x, y)
+            return _sharded_train(params, norm_state, opt_state, key, x, y, adj_s)
+
+        def eval_step(params, norm_state, key, x, y):
+            key, x, y, adj_s = _place(key, x, y)
+            return _sharded_eval(params, norm_state, key, x, y, adj_s)
+    else:
+        @jax.jit
+        def train_step(params, norm_state, opt_state, key, x, y):
+            def loss_fn(p):
+                if use_gnn:
+                    per_kp, new_state = model.apply_losses(p, norm_state, key, x, y, adj,
+                                                           training=True)
+                else:
+                    per_kp, new_state = model.apply_losses(p, key, x, y, adj,
+                                                           training=True)[0], norm_state
+                lm, lf = losses.losses_from_per_kp(per_kp)
+                return lf, (lm, new_state)
+
+            (lf, (lm, new_state)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), new_state, opt_state, lm, lf
+
+        @jax.jit
+        def eval_step(params, norm_state, key, x, y):
             if use_gnn:
-                per_kp, new_state = model.apply_losses(p, norm_state, key, x, y, adj,
-                                                       training=True)
+                per_kp, _ = model.apply_losses(params, norm_state, key, x, y, adj,
+                                               training=False)
             else:
-                per_kp, new_state = model.apply_losses(p, key, x, y, adj,
-                                                       training=True)[0], norm_state
+                per_kp, _ = model.apply_losses(params, key, x, y, adj, training=True)
             lm, lf = losses.losses_from_per_kp(per_kp)
-            return lf, (lm, new_state)
-
-        (lf, (lm, new_state)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), new_state, opt_state, lm, lf
-
-    @jax.jit
-    def eval_step(params, norm_state, key, x, y):
-        if use_gnn:
-            per_kp, _ = model.apply_losses(params, norm_state, key, x, y, adj,
-                                           training=False)
-        else:
-            per_kp, _ = model.apply_losses(params, key, x, y, adj, training=True)
-        lm, lf = losses.losses_from_per_kp(per_kp)
-        return lm, lf
+            return lm, lf
 
     plateau = schedule.ReduceLROnPlateau(lr=cfg.lr, factor=0.8, patience=3, min_lr=1e-6)
     stopper = schedule.EarlyStopping(patience=70)
