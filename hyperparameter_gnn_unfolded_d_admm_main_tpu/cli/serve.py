@@ -61,6 +61,12 @@ json/binary grid. The server dispatches per request on the first byte
 Binary frames cover the hot dlasso/GNN solve (no adj override); everything else
 (dlr fits, topology overrides, cmds) stays on JSON. Client helpers:
 `binary_solve(rfile, wfile, b)` below.
+
+`--coalesce_ms T` enables cross-request batching on the dlasso/GNN solve path:
+a dispatcher gathers concurrent requests for up to T ms (or `max_batch`
+samples) into ONE padded solve and scatters the slices — N small-B clients
+approach the big-batch single-request rate instead of serializing on the
+solver lock (see `_Coalescer`). Requests with an "adj" override bypass it.
 """
 
 from __future__ import annotations
@@ -126,6 +132,74 @@ def binary_solve(rfile, wfile, b_np):
     return np.frombuffer(payload, "<f4").reshape(B_out, n)
 
 
+class _Coalescer:
+    """Cross-request batching for the hot dlasso/GNN solve path.
+
+    Without it, N small-B clients serialize on the solver lock and each pays a
+    full dispatch (measured r3/r4: concurrency adds queueing delay, not chip
+    throughput). With `--coalesce_ms T`, a dispatcher thread gathers concurrent
+    requests for up to T ms (or until `max_batch` samples) and runs them as ONE
+    padded solve, then scatters the per-request slices — so 8 clients at B=8
+    approach the B=64 single-request rate instead of 8x the B=8 rate.
+
+    Note on numerics: the solver's random state init assigns noise by position
+    in the padded batch, so a coalesced request's answer can differ from its
+    solo-request answer within the solver's init-noise tolerance — exactly as
+    it already does between two clients batching differently. Requests with a
+    topology override bypass coalescing (they need their own adj)."""
+
+    def __init__(self, solver: "_Solver", window_ms: float):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._solver = solver
+        self._window = window_ms / 1e3
+        t = threading.Thread(target=self._loop, daemon=True,
+                             name="serve-coalescer")
+        t.start()
+
+    def solve(self, b_np):
+        ev = threading.Event()
+        slot: dict = {}
+        self._q.put((b_np, slot, ev))
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["y"], b_np.shape[0]
+
+    def _loop(self):
+        import queue as _q
+
+        while True:
+            items = [self._q.get()]
+            deadline = time.perf_counter() + self._window
+            total = items[0][0].shape[0]
+            while total < self._solver.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except _q.Empty:
+                    break
+                items.append(nxt)
+                total += nxt[0].shape[0]
+            try:
+                np = self._solver._np
+                y_all, _ = self._solver.solve(
+                    np.concatenate([it[0] for it in items]))
+                off = 0
+                for b_np, slot, ev in items:
+                    n = b_np.shape[0]
+                    slot["y"] = y_all[off:off + n]
+                    off += n
+                    ev.set()
+            except Exception as e:  # noqa: BLE001 - deliver, don't kill the loop
+                for _b, slot, ev in items:
+                    slot["err"] = e
+                    ev.set()
+
+
 class _Solver:
     """Checkpoint loaded once; one jitted solve at a fixed [max_batch, P, m] shape."""
 
@@ -143,6 +217,7 @@ class _Solver:
         from ..ops import graphs
         from ..utils import checkpoint as ckpt
 
+        self.coalescer = None   # set by main() when --coalesce_ms > 0
         args_path = os.path.join(run_dir, "args.json")
         cfg = None
         if os.path.exists(args_path):
@@ -754,6 +829,9 @@ def _make_handler(solver: _Solver, server_ref: dict,
                             f"classic frames need P=1 (global b), got P={P}")
                     b = np.frombuffer(payload, "<f4").reshape(B, m)
                     y_hat, B_out = solver.solve_classic(b)
+                elif solver.coalescer is not None:
+                    b = np.frombuffer(payload, "<f4").reshape(B, P, m)
+                    y_hat, B_out = solver.coalescer.solve(b)
                 else:
                     b = np.frombuffer(payload, "<f4").reshape(B, P, m)
                     y_hat, B_out = solver.solve(b)
@@ -832,7 +910,12 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         b = np.asarray(req["b"], np.float32)
                         adj = (np.asarray(req["adj"], np.float32)
                                if "adj" in req else None)
-                        y_hat, B = solver.solve(b, adj)
+                        if solver.coalescer is not None and adj is None:
+                            if b.ndim == 2:
+                                b = b[None]
+                            y_hat, B = solver.coalescer.solve(b)
+                        else:
+                            y_hat, B = solver.solve(b, adj)
                         resp = {"y_hat": y_hat.tolist(), "batch": B, "K": solver.K,
                                 "latency_ms": round(
                                     (time.perf_counter() - t0) * 1e3, 3)}
@@ -850,7 +933,7 @@ def main(argv=None):
         print("usage: serve <run_dir> [--port 8763] [--host 127.0.0.1] "
               "[--max_batch 32] [--ckpt best] [--device tpu] [--dtype bfloat16] "
               "[--gram_mode factored] [--mesh_data D] [--mesh_agents A] "
-              "[--compile_cache DIR] [--max_request_mb 64]")
+              "[--compile_cache DIR] [--max_request_mb 64] [--coalesce_ms T]")
         return
     run_dir = argv[0]
     opts = dict(zip(argv[1::2], argv[2::2]))
@@ -902,6 +985,13 @@ def main(argv=None):
         overrides["mesh_agents"] = _int_flag("--mesh_agents", 1)
     solver = _Solver(run_dir, opts.get("--ckpt", "best"),
                      _int_flag("--max_batch", 32), overrides)
+    coalesce_ms = float(opts.get("--coalesce_ms", "0"))
+    if coalesce_ms > 0:
+        if solver.case in ("dlr", "classic"):
+            print("note: --coalesce_ms covers the dlasso/GNN solve path; "
+                  f"{solver.case} requests run direct", file=sys.stderr)
+        else:
+            solver.coalescer = _Coalescer(solver, coalesce_ms)
 
     server_ref: dict = {}
     socketserver.ThreadingTCPServer.allow_reuse_address = True

@@ -615,3 +615,76 @@ def test_serve_binary_protocol():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_coalescing_no_sample_mixing():
+    """--coalesce_ms batches concurrent requests into one padded solve; the
+    critical invariant is routing: every client gets ITS OWN samples' answers
+    back. Each of 6 threads solves for a distinct sparse ground truth; each
+    response must decode its own truth (and not any other thread's)."""
+    import threading
+
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve import binary_solve
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "8",
+         "--coalesce_ms", "30"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        A = np.load(os.path.join(RUN, "A.npy"))
+        rng = np.random.default_rng(7)
+        N = 6
+        truths = [2.0 * rng.standard_normal(500) * (rng.random(500) <= 0.25)
+                  for _ in range(N)]
+        obs = [np.einsum("pmn,n->pm", A, t).astype(np.float32) for t in truths]
+
+        barrier = threading.Barrier(N)
+        results = [None] * N
+
+        def client(i):
+            cli = Client(ready["host"], ready["port"])
+            barrier.wait()
+            for _ in range(3):  # several rounds: coalesced compositions vary
+                y = binary_solve(cli.f.raw if hasattr(cli.f, "raw") else cli.f,
+                                 cli.f, obs[i][None])
+            results[i] = np.asarray(y)[0]
+            cli.sock.close()
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(N)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i in range(N):
+            assert results[i] is not None, f"client {i} got no answer"
+            own = np.sum((results[i] - truths[i]) ** 2) / np.sum(truths[i] ** 2)
+            assert own < 0.6, f"client {i} NMSE vs own truth: {own:.3f}"
+            for j in range(N):
+                if j == i:
+                    continue
+                other = (np.sum((results[i] - truths[j]) ** 2)
+                         / np.sum(truths[j] ** 2))
+                assert other > own * 1.5, (
+                    f"client {i}'s answer matches client {j}'s truth — "
+                    "coalescer mixed samples")
+
+        # JSON path coalesces too; adj-override requests bypass cleanly
+        cli = Client(ready["host"], ready["port"])
+        r = cli.call({"b": obs[0].tolist()})
+        own = (np.sum((np.asarray(r["y_hat"])[0] - truths[0]) ** 2)
+               / np.sum(truths[0] ** 2))
+        assert own < 0.6
+        adj = np.zeros((5, 5)); adj[0, 1:] = adj[1:, 0] = 1
+        r2 = cli.call({"b": obs[0].tolist(), "adj": adj.tolist()})
+        assert np.isfinite(np.asarray(r2["y_hat"])).all()
+        assert cli.call({"cmd": "shutdown"})["ok"]
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
