@@ -159,6 +159,12 @@ class _Coalescer:
         t.start()
 
     def solve(self, b_np):
+        # Validate HERE, per item — a malformed request must fail its own
+        # client, never the other requests sharing a coalescing window.
+        s = self._solver
+        if b_np.ndim != 3 or b_np.shape[1:] != (s.P, s.m):
+            raise ValueError(
+                f"b must be [B,{s.P},{s.m}], got {list(b_np.shape)}")
         ev = threading.Event()
         slot: dict = {}
         self._q.put((b_np, slot, ev))
@@ -194,9 +200,13 @@ class _Coalescer:
                     slot["y"] = y_all[off:off + n]
                     off += n
                     ev.set()
-            except Exception as e:  # noqa: BLE001 - deliver, don't kill the loop
-                for _b, slot, ev in items:
-                    slot["err"] = e
+            except Exception:  # noqa: BLE001 - isolate: retry each item alone so
+                # one failing payload cannot poison its window-mates
+                for b_np, slot, ev in items:
+                    try:
+                        slot["y"], _ = self._solver.solve(b_np)
+                    except Exception as e2:  # noqa: BLE001
+                        slot["err"] = e2
                     ev.set()
 
 
@@ -337,10 +347,12 @@ class _Solver:
                 mesh = mesh_lib.make_mesh(cfg.mesh_data, 1)
                 dp = NamedSharding(mesh, PartitionSpec(mesh_lib.DATA_AXIS))
                 repl = NamedSharding(mesh, PartitionSpec())
+                # final-iterate-only scan here too (the dense branch's +26%
+                # lever — stacked-Y DCE is not guaranteed under GSPMD either)
                 self._fn = jax.jit(
-                    lambda tree, k, b, adj: model.apply(
+                    lambda tree, k, b, adj: model.apply_final(
                         tree["params"], tree["norm_state"], k, b, adj,
-                        training=False).Y[-1],
+                        training=False),
                     in_shardings=(repl, repl, dp, dp))
             else:
                 # final-iterate-only unroll (no per-iteration Y snapshot in the
@@ -413,22 +425,27 @@ class _Solver:
         self.warmup()
 
     def _classic_table(self, path):
-        """Load + validate a classic hyp table [K, P, 4] (rho, alpha, tau, eta)."""
+        """Load + validate a classic hyp table [K, P, 4] (rho, alpha, tau, eta).
+
+        Raises ValueError (NOT SystemExit): this runs both at startup (where
+        _init_classic converts it to a clean exit) and from the `reload`
+        command inside a handler thread, whose `except Exception` must catch
+        it and answer the client — SystemExit would kill the handler silently."""
         import numpy as np
 
         table = np.load(path).astype(np.float32)
-        if table.ndim != 3 or table.shape[1] != self.cfg.P:
-            raise SystemExit(f"{path}: expected a [K, P={self.cfg.P}, 4] classic "
-                             f"hyp table, got {list(table.shape)}")
-        if table.shape[-1] == 6:
-            raise SystemExit(
+        if table.ndim == 3 and table.shape[-1] == 6:
+            raise ValueError(
                 "this is a classic dlr (6-hyperparameter) table: the classic dlr "
                 "case is an MNIST-regression EVAL artifact in the reference "
                 "(`dlr.py:44-57` — per-iteration curves, no request/response "
                 "surface); evaluate it with `dadmm-classic-dlr --eval`. The "
                 "request-serving dlr surface is the unfolded dlr family daemon.")
+        if table.ndim != 3 or table.shape[1] != self.cfg.P:
+            raise ValueError(f"{path}: expected a [K, P={self.cfg.P}, 4] classic "
+                             f"hyp table, got {list(table.shape)}")
         if table.shape[-1] != 4:
-            raise SystemExit(f"{path}: last axis must be 4 hyperparameters, "
+            raise ValueError(f"{path}: last axis must be 4 hyperparameters, "
                              f"got {table.shape[-1]}")
         return table
 
@@ -466,6 +483,16 @@ class _Solver:
                 "(models/classic.py) and runs at reference shape P=5 — use the "
                 "unfolded family for mesh-sharded serving")
         # Prefer the longest trained segment table (size=K in the filename).
+        # Eval-curve artifacts share the params_ prefix (`params_*_iteration_*`,
+        # written by `dadmm-dlasso --eval` into the same run dir) and are 1-D
+        # loss arrays, not tables — exclude them before the no-suffix sentinel
+        # (final full table) can match one.
+        params_files = [p for p in params_files
+                        if "_iteration_" not in os.path.basename(p)]
+        if not params_files:
+            raise SystemExit(f"{run_dir}: only eval-curve params_* files found "
+                             "— no trained hyp table to serve")
+
         def _size(p):
             m = re.search(r"size=(\d+)", os.path.basename(p))
             return int(m.group(1)) if m else 10 ** 9  # no suffix = final full table
@@ -479,7 +506,10 @@ class _Solver:
             cfg = cfg.replace(graph_prob=float(m_prob.group(1)))
         self.cfg = cfg
         self.case = "classic"
-        table = self._classic_table(self._params_path)
+        try:
+            table = self._classic_table(self._params_path)
+        except ValueError as e:   # startup: clean exit, not a traceback
+            raise SystemExit(str(e))
 
         key = jax.random.key(int(cfg.seed))
         k_A, _, _ = jax.random.split(key, 3)   # same derivation as the trainer
@@ -985,7 +1015,13 @@ def main(argv=None):
         overrides["mesh_agents"] = _int_flag("--mesh_agents", 1)
     solver = _Solver(run_dir, opts.get("--ckpt", "best"),
                      _int_flag("--max_batch", 32), overrides)
-    coalesce_ms = float(opts.get("--coalesce_ms", "0"))
+    try:
+        coalesce_ms = float(opts.get("--coalesce_ms", "0"))
+    except (TypeError, ValueError):
+        raise SystemExit(f"--coalesce_ms must be a number of milliseconds, "
+                         f"got {opts.get('--coalesce_ms')!r}")
+    if coalesce_ms < 0:
+        raise SystemExit(f"--coalesce_ms must be >= 0, got {coalesce_ms}")
     if coalesce_ms > 0:
         if solver.case in ("dlr", "classic"):
             print("note: --coalesce_ms covers the dlasso/GNN solve path; "

@@ -234,7 +234,6 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
     tb = TensorBoardWriter(os.path.join(out_dir, "tb"), enabled=cfg.tensorboard)
     rng = np.random.default_rng(int(cfg.seed))
     timer = StepTimer()
-    best_params = params
     start_epoch = 0
 
     if resume and ckpt.exists(resume):
@@ -245,6 +244,10 @@ def train_unfolded(cfg: Config, out_dir: str, resume: Optional[str] = None) -> D
         key, graph_seed = _restore_rng_state(meta, key, rng, graph_seed)
         log.cprint(f"resumed from {resume} at epoch {start_epoch}")
 
+    # AFTER the resume restore: a resumed run that never improves on the
+    # restored stopper.best must return the restored params, not the fresh init
+    # (train_unfolded_dlr already ordered it this way).
+    best_params = params
     final_nmse = float("nan")
     for epoch in range(start_epoch, cfg.num_epochs):
         if cfg.profile and epoch == start_epoch + 1:
