@@ -39,7 +39,7 @@ family is the one-shot `dlasso.py --eval` script, `dlasso.py:41-50`):
     {"b": [B x m_global]}  ->  {"y_hat": [B x n_global], ...}
 on the run's cached color schedule ("adj" overrides rejected — the learned table
 is specific to its Gauss-Seidel sweep order). Binary frames use P=1. Classic dlr
-(6-hyperparameter) tables are refused with a pointer to `dadmm-classic-dlr
+(6-hyperparameter) tables are refused with a pointer to `dadmm-dlr
 --eval` — that case is an MNIST-regression curve artifact in the reference, not
 a request/response surface.
 
@@ -439,7 +439,7 @@ class _Solver:
                 "this is a classic dlr (6-hyperparameter) table: the classic dlr "
                 "case is an MNIST-regression EVAL artifact in the reference "
                 "(`dlr.py:44-57` — per-iteration curves, no request/response "
-                "surface); evaluate it with `dadmm-classic-dlr --eval`. The "
+                "surface); evaluate it with `dadmm-dlr --eval`. The "
                 "request-serving dlr surface is the unfolded dlr family daemon.")
         if table.ndim != 3 or table.shape[1] != self.cfg.P:
             raise ValueError(f"{path}: expected a [K, P={self.cfg.P}, 4] classic "
