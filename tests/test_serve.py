@@ -688,3 +688,33 @@ def test_serve_coalescing_no_sample_mixing():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_coalescing_composes_with_mesh():
+    """--coalesce_ms works on top of the mesh-sharded solve (the coalescer sits
+    above solver.solve, which already runs the shard_map'd unroll)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "8",
+         "--mesh_data", "2", "--mesh_agents", "1", "--coalesce_ms", "20"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        A = np.load(os.path.join(RUN, "A.npy"))
+        rng = np.random.default_rng(3)
+        y = 2.0 * rng.standard_normal(500) * (rng.random(500) <= 0.25)
+        b = np.einsum("pmn,n->pm", A, y).astype(np.float32)
+        cli = Client(ready["host"], ready["port"])
+        r = cli.call({"b": b.tolist()})
+        got = np.asarray(r["y_hat"])[0]
+        nmse = np.sum((got - y) ** 2) / np.sum(y ** 2)
+        assert nmse < 0.6
+        assert cli.call({"cmd": "shutdown"})["ok"]
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
