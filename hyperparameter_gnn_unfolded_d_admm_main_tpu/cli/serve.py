@@ -43,7 +43,9 @@ is specific to its Gauss-Seidel sweep order). Binary frames use P=1. Classic dlr
 --eval` — that case is an MNIST-regression curve artifact in the reference, not
 a request/response surface.
 
-`{"cmd": "ping"}` health-checks, `{"cmd": "shutdown"}` stops the server. Serving knobs
+`{"cmd": "ping"}` health-checks, `{"cmd": "stats"}` returns serving counters
+(request/error/sample totals, rolling p50/p99 solve latency, coalescing
+effectiveness, uptime), `{"cmd": "shutdown"}` stops the server. Serving knobs
 (`--dtype bfloat16`, `--gram_mode factored`) match `cli.evaluate`'s.
 
 Binary frames (high-throughput path, coexists with JSON on the same socket):
@@ -132,6 +134,56 @@ def binary_solve(rfile, wfile, b_np):
     return np.frombuffer(payload, "<f4").reshape(B_out, n)
 
 
+class _Stats:
+    """Lightweight serving counters for the `{"cmd": "stats"}` endpoint: request/
+    error/sample totals, rolling solve-latency percentiles (last 1024), and
+    coalescing effectiveness. The reference has no observability at all; a
+    long-lived daemon needs at least this much to be operated."""
+
+    def __init__(self):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self.t_start = time.time()
+        self.requests = 0
+        self.errors = 0
+        self.samples = 0
+        self.coalesced_batches = 0
+        self.coalesced_requests = 0
+        self._lat = deque(maxlen=1024)
+
+    def record(self, latency_ms: float, samples: int, ok: bool = True):
+        with self._lock:
+            self.requests += 1
+            if ok:
+                self.samples += int(samples)
+                self._lat.append(latency_ms)
+            else:
+                self.errors += 1
+
+    def record_coalesced(self, n_requests: int):
+        with self._lock:
+            self.coalesced_batches += 1
+            self.coalesced_requests += n_requests
+
+    def snapshot(self) -> dict:
+        import numpy as np
+
+        with self._lock:
+            lats = list(self._lat)
+            snap = {"uptime_s": round(time.time() - self.t_start, 1),
+                    "requests": self.requests, "errors": self.errors,
+                    "samples_solved": self.samples,
+                    "coalesced_batches": self.coalesced_batches,
+                    "coalesced_requests": self.coalesced_requests}
+        if lats:
+            p50, p99 = np.percentile(np.asarray(lats), [50, 99])
+            snap["latency_ms"] = {"p50": round(float(p50), 1),
+                                  "p99": round(float(p99), 1),
+                                  "window": len(lats)}
+        return snap
+
+
 class _Coalescer:
     """Cross-request batching for the hot dlasso/GNN solve path.
 
@@ -194,6 +246,8 @@ class _Coalescer:
                 np = self._solver._np
                 y_all, _ = self._solver.solve(
                     np.concatenate([it[0] for it in items]))
+                if len(items) > 1:
+                    self._solver.stats.record_coalesced(len(items))
                 off = 0
                 for b_np, slot, ev in items:
                     n = b_np.shape[0]
@@ -228,6 +282,7 @@ class _Solver:
         from ..utils import checkpoint as ckpt
 
         self.coalescer = None   # set by main() when --coalesce_ms > 0
+        self.stats = _Stats()
         args_path = os.path.join(run_dir, "args.json")
         cfg = None
         if os.path.exists(args_path):
@@ -848,6 +903,7 @@ def _make_handler(solver: _Solver, server_ref: dict,
             payload = _read_exact(self.rfile, nbytes)
             if len(payload) < nbytes:
                 return False
+            t0 = time.perf_counter()
             try:
                 if solver.case == "dlr":
                     raise ValueError(
@@ -866,9 +922,11 @@ def _make_handler(solver: _Solver, server_ref: dict,
                     b = np.frombuffer(payload, "<f4").reshape(B, P, m)
                     y_hat, B_out = solver.solve(b)
                 arr = np.ascontiguousarray(y_hat, dtype="<f4")
+                solver.stats.record((time.perf_counter() - t0) * 1e3, B_out)
                 self.wfile.write(struct.pack("<4sII", BIN_MAGIC, B_out,
                                              arr.shape[1]) + arr.tobytes())
             except Exception as e:  # noqa: BLE001 - bad frame payload must not kill serving
+                solver.stats.record(0.0, 0, ok=False)
                 msg = f"{type(e).__name__}: {e}".encode()
                 self.wfile.write(struct.pack("<4sI", BIN_ERR_MAGIC, len(msg)) + msg)
             self.wfile.flush()
@@ -909,6 +967,8 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         resp = {"ok": True, "P": solver.P, "m": solver.m,
                                 "n": solver.n, "K": solver.K,
                                 "max_batch": solver.max_batch}
+                    elif req.get("cmd") == "stats":
+                        resp = {"ok": True, **solver.stats.snapshot()}
                     elif req.get("cmd") == "reload":
                         resp = solver.reload(req.get("ckpt", "best"))
                     elif req.get("cmd") == "shutdown":
@@ -949,7 +1009,11 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         resp = {"y_hat": y_hat.tolist(), "batch": B, "K": solver.K,
                                 "latency_ms": round(
                                     (time.perf_counter() - t0) * 1e3, 3)}
+                    if "batch" in resp:        # a solve (any family) succeeded
+                        solver.stats.record(resp.get("latency_ms", 0.0),
+                                            resp["batch"])
                 except Exception as e:  # noqa: BLE001 - a bad request must not kill serving
+                    solver.stats.record(0.0, 0, ok=False)
                     resp = {"error": f"{type(e).__name__}: {e}"}
                 self.wfile.write(json.dumps(resp).encode() + b"\n")
                 self.wfile.flush()

@@ -718,3 +718,44 @@ def test_serve_coalescing_composes_with_mesh():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_stats_endpoint():
+    """{"cmd": "stats"}: request/error/sample counters, rolling latency, and
+    coalescing effectiveness are tracked across JSON and binary solves."""
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve import binary_solve
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "4",
+         "--coalesce_ms", "5"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        cli = Client(ready["host"], ready["port"])
+
+        s0 = cli.call({"cmd": "stats"})
+        assert s0["ok"] and s0["requests"] == 0 and s0["errors"] == 0
+
+        b = np.zeros((5, 100), np.float32)
+        assert "y_hat" in cli.call({"b": b.tolist()})          # JSON solve
+        binary_solve(cli.f, cli.f, b[None])                     # binary solve
+        assert "error" in cli.call({"b": [[1.0]]})              # malformed
+
+        s1 = cli.call({"cmd": "stats"})
+        assert s1["requests"] == 3 and s1["errors"] == 1
+        assert s1["samples_solved"] == 2
+        assert s1["latency_ms"]["window"] == 2
+        assert s1["latency_ms"]["p50"] > 0
+        assert s1["uptime_s"] >= 0
+        # cmd requests are not counted as solves
+        assert cli.call({"cmd": "stats"})["requests"] == 3
+        assert cli.call({"cmd": "shutdown"})["ok"]
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
