@@ -18,6 +18,9 @@ three phases (gloo CPU collectives here; DCN/ICI on real pods):
 3. `flagship` — the GSPMD GNN-hypernetwork train step on the same agents-across-
    processes mesh; the pre-update loss is checked against a locally computed dense
    forward on identical params/batch/key.
+4. `dlr` — the second problem family: the sharded dlr unroll's collective
+   neighbor sums cross the same process boundary, checked against the local
+   dense unroll.
 
 Run as a self-launcher (spawns N local worker processes, CPU backend):
 
@@ -233,6 +236,40 @@ def worker(process_id: int, num_processes: int, coordinator: str,
     print(f"{tag} phase=flagship agents_procs={agent_procs} loss_final={lf8:.6f} "
           f"local_dense={float(lf_ref):.6f} rel_err={rel:.2e}", flush=True)
 
+    # -- phase 4: dlr family (beyond-reference) with agents across processes --
+    # The collective neighbor sums of the sharded dlr unroll ride the same
+    # transposed mesh, so every sum_N(a)/sum_N(w) exchange crosses a process
+    # boundary; checked against the local dense unroll.
+    from ..models import unfolded_dlr
+
+    d_feat, Bd, Kd = 4, 4, 3
+    rng_d = np.random.default_rng(60)
+    x_np = rng_d.standard_normal((Bd, Pa, d_feat)).astype(np.float32)
+    yd_np = rng_d.standard_normal((Bd, Pa, 1)).astype(np.float32)
+    adjd_np = graphs.sample_connected_er(np.random.default_rng(61), Bd, Pa, 0.5)
+    hyp6_np = 0.05 * np.ones((Kd, Pa, 6), np.float32)
+    std_np = unfolded_dlr.init_state(jax.random.key(62), Bd, Pa, d_feat)
+    _, per_ref = unfolded_dlr.unroll_table(
+        unfolded_dlr.DLRState(*(jnp.asarray(np.asarray(v)) for v in std_np)),
+        jnp.asarray(hyp6_np), jnp.asarray(x_np), jnp.asarray(yd_np),
+        jnp.asarray(adjd_np))
+    per_ref = np.asarray(per_ref)
+
+    sh_bpaN = NamedSharding(xmesh, PS(mesh_lib.DATA_AXIS, mesh_lib.AGENT_AXIS, None))
+    g_std = unfolded_dlr.DLRState(
+        *(_make_global(np.asarray(v), sh_bpa) for v in std_np))
+    unroll_dlr = unfolded_sharded.make_sharded_dlr_unroll(xmesh, schedule="ppermute")
+    _, per_sh = unroll_dlr(g_std, _make_global(hyp6_np, sh_ka),
+                           _make_global(x_np, sh_bpa),
+                           _make_global(yd_np, sh_bpa),
+                           _make_global(adjd_np.astype(np.float32), sh_bpaN))
+    per_sh = np.asarray(jax.device_get(per_sh))
+    rel_d = float(np.max(np.abs(per_sh - per_ref)) / (np.max(np.abs(per_ref)) + 1e-9))
+    if rel_d > 1e-4:
+        raise RuntimeError(f"dlr cross-process neighbor-sum mismatch: {rel_d:.2e}")
+    print(f"{tag} phase=dlr agents_procs={agent_procs} max_rel_err={rel_d:.2e}",
+          flush=True)
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -270,7 +307,7 @@ def main(argv=None):
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
     ok = all(p.returncode == 0 for p in procs)
-    phases = {"dp": [], "packed": [], "flagship": []}
+    phases = {"dp": [], "packed": [], "flagship": [], "dlr": []}
     for i, o in enumerate(outs):
         lines = [l for l in o.splitlines() if l.startswith("[proc")]
         for l in lines:
@@ -283,11 +320,12 @@ def main(argv=None):
                     phases[ph].append(l.split("loss_final=")[-1].split()[0]
                                       if "loss_final=" in l else l.split()[-1])
     complete = all(len(v) == args.num_processes for v in phases.values())
-    agree = all(len(set(v)) == 1 for ph, v in phases.items() if ph != "packed")
+    agree = all(len(set(v)) == 1 for ph, v in phases.items()
+                if ph not in ("packed", "dlr"))  # those report per-proc errors
     if ok and complete and agree:
         print(f"multihost demo OK: {args.num_processes} processes, agents axis "
-              f"across the process boundary (packed ppermute + GSPMD flagship), "
-              f"losses agree")
+              f"across the process boundary (packed ppermute + GSPMD flagship "
+              f"+ dlr neighbor sums), losses agree")
         return 0
     print("multihost demo FAILED")
     return 1

@@ -43,3 +43,4 @@ def test_two_process_training_agrees():
     # the north-star proof lines: consensus collectives crossed the process boundary
     assert "phase=packed agents_procs=[0, 1]" in r.stdout
     assert "phase=flagship agents_procs=[0, 1]" in r.stdout
+    assert "phase=dlr agents_procs=[0, 1]" in r.stdout
