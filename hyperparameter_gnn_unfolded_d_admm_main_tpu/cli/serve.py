@@ -39,9 +39,11 @@ family is the one-shot `dlasso.py --eval` script, `dlasso.py:41-50`):
     {"b": [B x m_global]}  ->  {"y_hat": [B x n_global], ...}
 on the run's cached color schedule ("adj" overrides rejected — the learned table
 is specific to its Gauss-Seidel sweep order). Binary frames use P=1. Classic dlr
-(6-hyperparameter) tables are refused with a pointer to `dadmm-dlr
---eval` — that case is an MNIST-regression curve artifact in the reference, not
-a request/response surface.
+(6-hyperparameter) tables serve the regression fit over the same {"x","y"}
+protocol as the unfolded dlr family (x is [B, P, 784] — the flattened-MNIST
+feature dim the case trains on, `train/classic_loop.py:177`); the solver runs
+the reference's color-sweep updates (`models.py:5-330`) with a seeded
+deterministic state init.
 
 `{"cmd": "ping"}` health-checks, `{"cmd": "stats"}` returns serving counters
 (request/error/sample totals, rolling p50/p99 solve latency, coalescing
@@ -489,19 +491,18 @@ class _Solver:
         import numpy as np
 
         table = np.load(path).astype(np.float32)
-        if table.ndim == 3 and table.shape[-1] == 6:
-            raise ValueError(
-                "this is a classic dlr (6-hyperparameter) table: the classic dlr "
-                "case is an MNIST-regression EVAL artifact in the reference "
-                "(`dlr.py:44-57` — per-iteration curves, no request/response "
-                "surface); evaluate it with `dadmm-dlr --eval`. The "
-                "request-serving dlr surface is the unfolded dlr family daemon.")
-        if table.ndim != 3 or table.shape[1] != self.cfg.P:
-            raise ValueError(f"{path}: expected a [K, P={self.cfg.P}, 4] classic "
+        if table.ndim != 3 or table.shape[1] not in (1, self.cfg.P):
+            raise ValueError(f"{path}: expected a [K, P={self.cfg.P}, 4|6] classic "
                              f"hyp table, got {list(table.shape)}")
-        if table.shape[-1] != 4:
-            raise ValueError(f"{path}: last axis must be 4 hyperparameters, "
-                             f"got {table.shape[-1]}")
+        if table.shape[-1] not in (4, 6):
+            raise ValueError(f"{path}: last axis must be 4 (dlasso) or 6 (dlr) "
+                             f"hyperparameters, got {table.shape[-1]}")
+        want = getattr(self, "_classic_hyp_width", None)  # set after startup
+        if want is not None and table.shape[-1] != want:
+            raise ValueError(
+                f"{path}: a {table.shape[-1]}-hyperparameter table cannot hot-"
+                f"reload into a daemon serving the "
+                f"{'dlr' if want == 6 else 'dlasso'} classic case")
         return table
 
     def _init_classic(self, run_dir: str, params_files, overrides: dict):
@@ -560,29 +561,54 @@ class _Solver:
         if m_prob:
             cfg = cfg.replace(graph_prob=float(m_prob.group(1)))
         self.cfg = cfg
-        self.case = "classic"
         try:
             table = self._classic_table(self._params_path)
         except ValueError as e:   # startup: clean exit, not a traceback
             raise SystemExit(str(e))
+        self._classic_hyp_width = int(table.shape[-1])
+        sched = classic_loop.load_or_create_graph(cfg)
+        self._run_dir = run_dir
+        self.default_adj = None
+        self.K = int(table.shape[0])
+        self._table = jnp.asarray(table)
+        self._key = jax.random.key(int(cfg.seed) + 777)
+        self._jnp, self._np, self._jax = jnp, np, jax
+        self._lock = threading.Lock()
 
+        if self._classic_hyp_width == 6:
+            # Classic dlr (reference `dlr.py` / `models.py:5-330`): serve the
+            # regression FIT over the same {"x","y"} protocol as the unfolded
+            # dlr daemon. The trained 6-hyperparameter table is data-
+            # independent; the solver runs the color-sweep updates on the
+            # run's cached schedule with a seeded deterministic state init.
+            d = 28 * 28   # classic dlr feature dim (flattened-MNIST shape,
+                          # train/classic_loop.py:177)
+            solver6 = classic.DADMMLRClassic(cfg.P, d)
+            st0 = solver6.init_state(self.max_batch, seed=int(cfg.seed) + 777)
+            self.case = "dlr"
+            self._classic_dlr = True
+            self.P, self.m, self.n = cfg.P, d, d
+
+            def _fn6(t, x_pbd, y_pb1):
+                out = solver6.run(t, x_pbd, y_pb1, sched, state=st0)
+                return out["a"], out["omega"]
+
+            self._fn = jax.jit(_fn6)
+            x0 = jnp.zeros((cfg.P, self.max_batch, d), jnp.float32)
+            y0 = jnp.zeros((cfg.P, self.max_batch, 1), jnp.float32)
+            self._jax.block_until_ready(self._fn(self._table, x0, y0))
+            return
+
+        self.case = "classic"
         key = jax.random.key(int(cfg.seed))
         k_A, _, _ = jax.random.split(key, 3)   # same derivation as the trainer
         A_global = classic_data.global_sensing_matrix(k_A)
         solver = classic.DADMMLASSOClassic(A_global, cfg.P)
-        sched = classic_loop.load_or_create_graph(cfg)
         self.P, self.m, self.n = cfg.P, A_global.shape[0], solver.n
-        self.K = int(table.shape[0])
-        self._table = jnp.asarray(table)
-        self._run_dir = run_dir
-        self.default_adj = None
         # table as a jit ARGUMENT -> hot reload without recompiling (a reload
         # with a different K recompiles once: the scan length is static)
         self._fn = jax.jit(
             lambda t, b: jnp.mean(solver.run(t, b, sched)[0], axis=0))
-        self._key = jax.random.key(int(cfg.seed) + 777)
-        self._jnp, self._np, self._jax = jnp, np, jax
-        self._lock = threading.Lock()
         b0 = jnp.zeros((self.max_batch, self.m), jnp.float32)
         self._jax.block_until_ready(self._fn(self._table, b0))
 
@@ -625,9 +651,10 @@ class _Solver:
         is a jit argument with unchanged shapes/dtypes). Serialized behind the
         solver lock so in-flight solves finish on the old weights."""
         t0 = time.perf_counter()
-        if self.case == "classic":
-            # re-read the table file ('best'/'last' = the serving table; any
-            # other name = a params_*.npy relative to the run dir)
+        if getattr(self, "_classic_hyp_width", None) is not None:
+            # classic family (dlasso or dlr): re-read the table file ('best'/
+            # 'last' = the serving table; any other name = a params_*.npy
+            # relative to the run dir)
             path = (self._params_path if ckpt_name in ("best", "last")
                     else os.path.join(self._run_dir, ckpt_name))
             new_table = self._classic_table(path)
@@ -828,9 +855,50 @@ class _Solver:
                 adj = a_chunk
             yield chunks, adj, n_real
 
+    def _solve_classic_dlr(self, x_np, y_np, adj_np=None):
+        """Classic color-sweep dlr fit: x [B,P,d], y [B,P] -> (a [B,P,d],
+        w [B,P]); the solver's native layout is agent-major [P,B,...]."""
+        np, jnp = self._np, self._jnp
+        if adj_np is not None:
+            raise ValueError(
+                "classic serving uses the run's cached color schedule (the "
+                "learned table is specific to its Gauss-Seidel sweep order); "
+                "per-request adj overrides are not supported")
+        if x_np.ndim == 2:
+            x_np = x_np[None]
+        if y_np.ndim == 1:
+            y_np = y_np[None]
+        if y_np.ndim == 2:
+            y_np = y_np[..., None]
+        B = x_np.shape[0]
+        if x_np.shape[1:] != (self.P, self.m) or y_np.shape != (B, self.P, 1):
+            raise ValueError(
+                f"x must be [B,{self.P},{self.m}] and y [B,{self.P}], got "
+                f"{list(x_np.shape)} / {list(y_np.shape)}")
+        a_out, w_out = [], []
+        with self._lock:
+            for lo in range(0, B, self.max_batch):
+                xc = x_np[lo:lo + self.max_batch]
+                yc = y_np[lo:lo + self.max_batch]
+                n_real = xc.shape[0]
+                pad = self.max_batch - n_real
+                if pad:
+                    xc = np.concatenate(
+                        [xc, np.zeros((pad,) + xc.shape[1:], xc.dtype)])
+                    yc = np.concatenate(
+                        [yc, np.zeros((pad,) + yc.shape[1:], yc.dtype)])
+                a, w = self._fn(self._table,
+                                jnp.asarray(np.moveaxis(xc, 0, 1), jnp.float32),
+                                jnp.asarray(np.moveaxis(yc, 0, 1), jnp.float32))
+                a_out.append(np.moveaxis(np.asarray(a), 0, 1)[:n_real])
+                w_out.append(np.moveaxis(np.asarray(w), 0, 1)[:n_real, :, 0])
+        return np.concatenate(a_out), np.concatenate(w_out), B
+
     def solve_dlr(self, x_np, y_np, adj_np=None):
         """Fit the distributed regression: returns (a [B,P,d], w [B,P]) fitted per
         agent, chunked/padded to the compiled batch like `solve`."""
+        if getattr(self, "_classic_dlr", False):
+            return self._solve_classic_dlr(x_np, y_np, adj_np)
         np, jnp = self._np, self._jnp
         if x_np.ndim == 2:
             x_np = x_np[None]

@@ -145,16 +145,81 @@ def test_classic_serve_protocol_and_parity(server):
 
 @pytest.mark.skipif(not glob.glob(os.path.join(DLR_RUN, "params_*.npy")),
                     reason="committed classic dlr run not present")
-def test_classic_dlr_tables_are_refused_with_pointer():
-    """6-hyperparameter (dlr) tables refuse to serve, with the documented
-    pointer to the eval surface — the reference's classic dlr is a curve
-    artifact, not a request/response service."""
+def test_classic_dlr_serves_regression_fits():
+    """6-hyperparameter (classic dlr) tables serve the regression fit over the
+    dlr {"x","y"} protocol, bit-matching a direct DADMMLRClassic.run on the
+    same table + cached schedule + seeded state init."""
+    import jax
+    import jax.numpy as jnp
+
     proc = subprocess.Popen(
         [sys.executable, "-m",
          "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
          DLR_RUN, "--device", "cpu", "--port", "0", "--max_batch", "2"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
     )
-    out, err = proc.communicate(timeout=300)
-    assert proc.returncode != 0
-    assert "classic dlr" in err and "--eval" in err
+    try:
+        ready = json.loads(proc.stdout.readline())
+        d = 28 * 28
+        assert ready["P"] == 5 and ready["m"] == d
+        cli = Client(ready["host"], ready["port"])
+
+        files = glob.glob(os.path.join(DLR_RUN, "params_*.npy"))
+        files = [f for f in files if "_iteration_" not in os.path.basename(f)]
+        def size(p):
+            m = re.search(r"size=(\d+)", os.path.basename(p))
+            return int(m.group(1)) if m else 10 ** 9
+        table = np.load(max(files, key=size)).astype(np.float32)
+        assert cli.call({"cmd": "ping"})["K"] == table.shape[0]
+
+        rng = np.random.default_rng(1)
+        B = 3  # > max_batch: exercises chunk/pad through the agent-major path
+        x = rng.standard_normal((B, 5, d)).astype(np.float32) * 0.05
+        y = rng.standard_normal((B, 5)).astype(np.float32)
+        resp = cli.call({"x": x.tolist(), "y": y.tolist()})
+        assert resp["batch"] == B
+        a_got = np.asarray(resp["a"], np.float32)
+        w_got = np.asarray(resp["w"], np.float32)
+        assert a_got.shape == (B, 5, d) and w_got.shape == (B, 5)
+        assert np.isfinite(a_got).all() and np.isfinite(w_got).all()
+
+        # direct reference answer: same table/schedule/seeded init, padded B=2
+        # chunks exactly as the daemon runs them
+        from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+        from hyperparameter_gnn_unfolded_d_admm_main_tpu.models import classic
+        from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import classic_loop
+
+        with open(os.path.join(DLR_RUN, "args.json")) as f:
+            cfg = Config.from_json(f.read())
+        cwd = os.getcwd()
+        os.chdir(REPO)
+        try:
+            sched = classic_loop.load_or_create_graph(cfg)
+        finally:
+            os.chdir(cwd)
+        solver = classic.DADMMLRClassic(cfg.P, d)
+        st0 = solver.init_state(2, seed=int(cfg.seed) + 777)
+        a_ref = np.zeros((4, 5, d), np.float32)
+        w_ref = np.zeros((4, 5), np.float32)
+        xp = np.concatenate([x, np.zeros((1, 5, d), np.float32)])
+        yp = np.concatenate([y, np.zeros((1, 5), np.float32)])
+        for lo in (0, 2):
+            out = solver.run(jnp.asarray(table),
+                             jnp.asarray(np.moveaxis(xp[lo:lo + 2], 0, 1)),
+                             jnp.asarray(np.moveaxis(yp[lo:lo + 2, :, None], 0, 1)),
+                             sched, state=st0)
+            a_ref[lo:lo + 2] = np.moveaxis(np.asarray(out["a"]), 0, 1)
+            w_ref[lo:lo + 2] = np.moveaxis(np.asarray(out["omega"]), 0, 1)[..., 0]
+        np.testing.assert_allclose(a_got, a_ref[:B], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(w_got, w_ref[:B], rtol=2e-4, atol=2e-4)
+
+        # adj overrides rejected, like classic dlasso
+        err = cli.call({"x": x.tolist(), "y": y.tolist(),
+                        "adj": np.eye(5).tolist()})
+        assert "color schedule" in err.get("error", "")
+        assert cli.call({"cmd": "shutdown"})["ok"]
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
