@@ -139,8 +139,11 @@ def binary_solve(rfile, wfile, b_np):
 class _Stats:
     """Lightweight serving counters for the `{"cmd": "stats"}` endpoint: request/
     error/sample totals, rolling solve-latency percentiles (last 1024), and
-    coalescing effectiveness. The reference has no observability at all; a
-    long-lived daemon needs at least this much to be operated."""
+    coalescing effectiveness. Semantics: `requests`/`errors` count SOLVE
+    traffic and protocol failures (malformed JSON/frames); cmd requests
+    (ping/stats/reload/shutdown) are never counted, succeed or fail. The
+    reference has no observability at all; a long-lived daemon needs at least
+    this much to be operated."""
 
     def __init__(self):
         from collections import deque
@@ -877,16 +880,7 @@ class _Solver:
                 f"{list(x_np.shape)} / {list(y_np.shape)}")
         a_out, w_out = [], []
         with self._lock:
-            for lo in range(0, B, self.max_batch):
-                xc = x_np[lo:lo + self.max_batch]
-                yc = y_np[lo:lo + self.max_batch]
-                n_real = xc.shape[0]
-                pad = self.max_batch - n_real
-                if pad:
-                    xc = np.concatenate(
-                        [xc, np.zeros((pad,) + xc.shape[1:], xc.dtype)])
-                    yc = np.concatenate(
-                        [yc, np.zeros((pad,) + yc.shape[1:], yc.dtype)])
+            for (xc, yc), _adj, n_real in self._iter_chunks(B, (x_np, y_np), None):
                 a, w = self._fn(self._table,
                                 jnp.asarray(np.moveaxis(xc, 0, 1), jnp.float32),
                                 jnp.asarray(np.moveaxis(yc, 0, 1), jnp.float32))
@@ -963,6 +957,7 @@ def _make_handler(solver: _Solver, server_ref: dict,
             magic, B, P, m = struct.unpack("<4sIII", hdr)
             nbytes = B * P * m * 4
             if magic != BIN_MAGIC or nbytes > max_request_bytes or nbytes == 0:
+                solver.stats.record(0.0, 0, ok=False)  # count like payload errors
                 msg = (f"bad frame: magic={magic!r} payload={nbytes}B "
                        f"(cap {max_request_bytes})").encode()
                 self.wfile.write(struct.pack("<4sI", BIN_ERR_MAGIC, len(msg)) + msg)
@@ -990,9 +985,11 @@ def _make_handler(solver: _Solver, server_ref: dict,
                     b = np.frombuffer(payload, "<f4").reshape(B, P, m)
                     y_hat, B_out = solver.solve(b)
                 arr = np.ascontiguousarray(y_hat, dtype="<f4")
-                solver.stats.record((time.perf_counter() - t0) * 1e3, B_out)
                 self.wfile.write(struct.pack("<4sII", BIN_MAGIC, B_out,
                                              arr.shape[1]) + arr.tobytes())
+                # record only after the response is written: a write failure
+                # lands in the except and must not double-count the request
+                solver.stats.record((time.perf_counter() - t0) * 1e3, B_out)
             except Exception as e:  # noqa: BLE001 - bad frame payload must not kill serving
                 solver.stats.record(0.0, 0, ok=False)
                 msg = f"{type(e).__name__}: {e}".encode()
@@ -1029,6 +1026,7 @@ def _make_handler(solver: _Solver, server_ref: dict,
                 if not raw:
                     continue
                 t0 = time.perf_counter()
+                req = None
                 try:
                     req = json.loads(raw)
                     if req.get("cmd") == "ping":
@@ -1081,7 +1079,12 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         solver.stats.record(resp.get("latency_ms", 0.0),
                                             resp["batch"])
                 except Exception as e:  # noqa: BLE001 - a bad request must not kill serving
-                    solver.stats.record(0.0, 0, ok=False)
+                    # stats cover SOLVE traffic + protocol failures; a failed
+                    # cmd request (bad reload name etc.) is answered but not
+                    # counted — else an idle daemon's dashboard reads 100%
+                    # error rate from operator typos
+                    if not (isinstance(req, dict) and "cmd" in req):
+                        solver.stats.record(0.0, 0, ok=False)
                     resp = {"error": f"{type(e).__name__}: {e}"}
                 self.wfile.write(json.dumps(resp).encode() + b"\n")
                 self.wfile.flush()

@@ -5,8 +5,8 @@ The reference's only inference surface for this family is the one-shot
 table serves requests over the same daemon protocol as every other family.
 Drives a real subprocess on the committed classic run artifact
 (results_parity/classic_dlasso — params_*.npy tables, NO args.json: exercises
-the filename-metadata fallback) and checks served answers bit-match a direct
-in-process `DADMMLASSOClassic.run` on the same table + cached color schedule.
+the filename-metadata fallback) and checks served answers match a direct
+in-process `DADMMLASSOClassic.run` (assert_allclose 2e-4) on the same table + cached color schedule.
 """
 
 import glob
@@ -68,7 +68,7 @@ def _expected_table():
 
 def _direct_solver():
     """The same solver construction the daemon performs (default-config seed,
-    cached color schedule), for bit-match reference answers."""
+    cached color schedule), for matched (2e-4) reference answers."""
     import jax
 
     from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
@@ -147,7 +147,7 @@ def test_classic_serve_protocol_and_parity(server):
                     reason="committed classic dlr run not present")
 def test_classic_dlr_serves_regression_fits():
     """6-hyperparameter (classic dlr) tables serve the regression fit over the
-    dlr {"x","y"} protocol, bit-matching a direct DADMMLRClassic.run on the
+    dlr {"x","y"} protocol, matching a direct DADMMLRClassic.run (assert_allclose 2e-4) on the
     same table + cached schedule + seeded state init."""
     import jax
     import jax.numpy as jnp
