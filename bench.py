@@ -492,12 +492,17 @@ def build_records(variants, base_ips, baseline_source):
         "detail_file": "results_parity/bench_detail.json",
     }
     if len(json.dumps(record)) > COMPACT_LINE_MAX:
-        # Last-resort trim: keep the 12 fastest variants (full set is in the detail
-        # file either way). With current tag lengths this path is never taken —
+        # Last-resort trim: drop the slowest variants one at a time until the
+        # serialized record actually fits (full set is in the detail file either
+        # way). With current tag lengths this path is never taken —
         # tests/test_bench_format.py asserts the full grid fits.
-        record["variants_iter_per_sec"] = dict(
-            sorted(vips.items(), key=lambda kv: -kv[1])[:12])
+        ranked = sorted(vips.items(), key=lambda kv: -kv[1])
         record["variants_trimmed"] = True
+        while len(ranked) > 1:
+            ranked.pop()
+            record["variants_iter_per_sec"] = dict(ranked)
+            if len(json.dumps(record)) <= COMPACT_LINE_MAX:
+                break
     return record, detail
 
 

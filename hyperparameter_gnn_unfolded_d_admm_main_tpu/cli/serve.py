@@ -40,8 +40,9 @@ family is the one-shot `dlasso.py --eval` script, `dlasso.py:41-50`):
 on the run's cached color schedule ("adj" overrides rejected — the learned table
 is specific to its Gauss-Seidel sweep order). Binary frames use P=1. Classic dlr
 (6-hyperparameter) tables serve the regression fit over the same {"x","y"}
-protocol as the unfolded dlr family (x is [B, P, 784] — the flattened-MNIST
-feature dim the case trains on, `train/classic_loop.py:177`); the solver runs
+protocol as the unfolded dlr family (x is [B, P, d] where d is the run's
+recorded `lr_feature_dim` — 784 flattened-MNIST by default,
+`train/classic_loop.py:177`); the solver runs
 the reference's color-sweep updates (`models.py:5-330`) with a seeded
 deterministic state init.
 
@@ -158,6 +159,10 @@ class _Stats:
         self._lat = deque(maxlen=1024)
 
     def record(self, latency_ms: float, samples: int, ok: bool = True):
+        # latency_ms is SOLVE latency: measured around the solver call only
+        # (including any coalescing-window wait), excluding response
+        # serialization/socket writes — identical definition on the binary
+        # and JSON protocol paths.
         with self._lock:
             self.requests += 1
             if ok:
@@ -225,29 +230,42 @@ class _Coalescer:
         ev = threading.Event()
         slot: dict = {}
         self._q.put((b_np, slot, ev))
-        ev.wait()
+        # Bounded wait: if the dispatcher thread ever died, fail THIS request
+        # with a clear error instead of hanging its handler forever (the
+        # per-solve budget is generous — a coalesced window is the --coalesce_ms
+        # gather plus one chip dispatch, well under a second at max_batch).
+        if not ev.wait(timeout=self.SOLVE_TIMEOUT_S):
+            raise RuntimeError(
+                f"coalesced solve did not complete within "
+                f"{self.SOLVE_TIMEOUT_S:.0f}s (dispatcher stalled or dead)")
         if "err" in slot:
             raise slot["err"]
         return slot["y"], b_np.shape[0]
+
+    SOLVE_TIMEOUT_S = 120.0   # >> any window + dispatch; only trips on a wedge
 
     def _loop(self):
         import queue as _q
 
         while True:
-            items = [self._q.get()]
-            deadline = time.perf_counter() + self._window
-            total = items[0][0].shape[0]
-            while total < self._solver.max_batch:
-                left = deadline - time.perf_counter()
-                if left <= 0:
-                    break
-                try:
-                    nxt = self._q.get(timeout=left)
-                except _q.Empty:
-                    break
-                items.append(nxt)
-                total += nxt[0].shape[0]
+            # The ENTIRE iteration runs under try/except: an exception anywhere
+            # (including the queue-gather section) must never kill the
+            # dispatcher thread — that would hang every future request.
+            items = []
             try:
+                items = [self._q.get()]
+                deadline = time.perf_counter() + self._window
+                total = items[0][0].shape[0]
+                while total < self._solver.max_batch:
+                    left = deadline - time.perf_counter()
+                    if left <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=left)
+                    except _q.Empty:
+                        break
+                    items.append(nxt)
+                    total += nxt[0].shape[0]
                 np = self._solver._np
                 y_all, _ = self._solver.solve(
                     np.concatenate([it[0] for it in items]))
@@ -584,8 +602,11 @@ class _Solver:
             # dlr daemon. The trained 6-hyperparameter table is data-
             # independent; the solver runs the color-sweep updates on the
             # run's cached schedule with a seeded deterministic state init.
-            d = 28 * 28   # classic dlr feature dim (flattened-MNIST shape,
-                          # train/classic_loop.py:177)
+            # Feature dim comes from args.json (cfg.lr_feature_dim, recorded at
+            # training time) — NOT hard-coded 784 — so a table trained on any
+            # feature width serves with the right solver shape; requests are
+            # shape-checked against it in solve_dlr.
+            d = int(cfg.lr_feature_dim)
             solver6 = classic.DADMMLRClassic(cfg.P, d)
             st0 = solver6.init_state(self.max_batch, seed=int(cfg.seed) + 777)
             self.case = "dlr"
@@ -984,12 +1005,18 @@ def _make_handler(solver: _Solver, server_ref: dict,
                 else:
                     b = np.frombuffer(payload, "<f4").reshape(B, P, m)
                     y_hat, B_out = solver.solve(b)
+                # Solve latency is measured HERE — around the solver call only
+                # (incl. any coalescing-window wait), excluding response
+                # serialization and socket I/O — the same definition as the
+                # JSON path, so the stats endpoint's p50/p99 aggregate one
+                # consistent quantity across both protocols.
+                lat_ms = (time.perf_counter() - t0) * 1e3
                 arr = np.ascontiguousarray(y_hat, dtype="<f4")
                 self.wfile.write(struct.pack("<4sII", BIN_MAGIC, B_out,
                                              arr.shape[1]) + arr.tobytes())
                 # record only after the response is written: a write failure
                 # lands in the except and must not double-count the request
-                solver.stats.record((time.perf_counter() - t0) * 1e3, B_out)
+                solver.stats.record(lat_ms, B_out)
             except Exception as e:  # noqa: BLE001 - bad frame payload must not kill serving
                 solver.stats.record(0.0, 0, ok=False)
                 msg = f"{type(e).__name__}: {e}".encode()

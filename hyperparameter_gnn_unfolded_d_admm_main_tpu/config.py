@@ -161,6 +161,13 @@ class Config:
                                        # truncation (LoadData.py:16-24); the dlr
                                        # drivers treat it as a local-MNIST directory.
                                        # Empty = seeded on-device regeneration.
+    lr_feature_dim: int = 784          # classic-dlr per-sample feature width
+                                       # (reference dlr.py trains on flattened
+                                       # 28x28 MNIST; train/classic_loop.py and
+                                       # cli/serve.py derive the solver shape from
+                                       # this instead of hard-coding 784, so
+                                       # tables trained at other widths serve
+                                       # with the right shape via args.json)
     decoder_type: str = "flattened"    # flagship hypernetwork head: 'flattened' =
                                        # reference-faithful P*4h->MLP (params O(P),
                                        # gnn_dlasso_models_progressive.py:93-106);

@@ -174,7 +174,7 @@ def eval_classic_dlr(cfg: Config, hyp_table: jnp.ndarray, out_dir: str):
     (`dlr.py:44-57` semantics; first batch only like `utils.py:84-111`)."""
     key = jax.random.key(int(cfg.seed))
     k_data, _ = jax.random.split(key)
-    d = 28 * 28
+    d = int(cfg.lr_feature_dim)
     x_te, l_te = classic_data.make_lr_dataset_maybe_mnist(
         jax.random.key(int(cfg.seed) + 1), cfg.P, cfg.test_size, d,
         data_path=cfg.data_path, train=False)
@@ -196,7 +196,7 @@ def train_classic_dlr(cfg: Config, out_dir: str) -> Dict:
     log = IOStream(os.path.join(out_dir, "run.log"))
     key = jax.random.key(int(cfg.seed))
     k_data, _ = jax.random.split(key)
-    d = 28 * 28
+    d = int(cfg.lr_feature_dim)
 
     x_all, lab_all = classic_data.make_lr_dataset_maybe_mnist(
         k_data, cfg.P, cfg.train_size, d, data_path=cfg.data_path, train=True)
