@@ -21,6 +21,9 @@ three phases (gloo CPU collectives here; DCN/ICI on real pods):
 4. `dlr` — the second problem family: the sharded dlr unroll's collective
    neighbor sums cross the same process boundary, checked against the local
    dense unroll.
+5. `halo` — the round-5 edge-cut halo schedule (`parallel/halo.py`): agents are
+   partitioned to minimize cross-shard edges and only boundary rows cross the
+   process boundary (offset-t ppermutes), checked against the local dense unroll.
 
 Run as a self-launcher (spawns N local worker processes, CPU backend):
 
@@ -270,6 +273,41 @@ def worker(process_id: int, num_processes: int, coordinator: str,
     print(f"{tag} phase=dlr agents_procs={agent_procs} max_rel_err={rel_d:.2e}",
           flush=True)
 
+    # -- phase 5: edge-cut HALO exchange across the process boundary (round 5,
+    # parallel/halo.py): partition the phase-2 problem's agents, ship only
+    # boundary rows between processes, un-permute, check vs the local dense
+    # unroll. The offset-t ppermutes here cross REAL process boundaries.
+    from ..parallel import halo as halo_lib
+
+    perm = halo_lib.greedy_equal_partition(adj_np, s_agents)
+    adj_p, = halo_lib.permute_agents(perm, adj_np)
+    halo_topo_np = jax.tree_util.tree_map(
+        np.asarray, halo_lib.build_halo(adj_p, s_agents))
+    g_halo = halo_lib.HaloTopology(
+        send_idx=tuple(_make_global(x, sh_bpaN) for x in halo_topo_np.send_idx),
+        nbr_buf=_make_global(halo_topo_np.nbr_buf, sh_bpaN),
+        mask=_make_global(halo_topo_np.mask, sh_bpaN),
+        deg=_make_global(halo_topo_np.deg, sh_bpa),
+    )
+    g_state_p = dadmm_core.SolverState(
+        *(_make_global(np.asarray(x)[:, perm], sh_bpa) for x in st_np))
+    unroll_halo = unfolded_sharded.make_sharded_unroll_halo(
+        xmesh, halo_topo_np, gram_mode="factored", remat=False)
+    Yh = unroll_halo(g_state_p, _make_global(table_np[:, perm], sh_ka),
+                     _make_global(A_np[perm], sh_a),
+                     _make_global(Atb_np[:, perm], sh_bpa), g_halo)
+    Y_ref_p = Y_ref[:, :, perm]          # reference in partition order
+    max_err_h = max(
+        float(np.max(np.abs(np.asarray(sh.data) - Y_ref_p[sh.index]))) / scale
+        for sh in Yh.addressable_shards
+    )
+    if max_err_h > 1e-4:
+        raise RuntimeError(f"halo cross-process consensus mismatch: {max_err_h:.2e}")
+    print(f"{tag} phase=halo agents_procs={agent_procs} "
+          f"halo_rows={sum(halo_topo_np.halo_sizes())} "
+          f"ring_rows={(s_agents - 1) * (Pa // s_agents)} "
+          f"max_rel_err={max_err_h:.2e}", flush=True)
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -307,7 +345,7 @@ def main(argv=None):
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
     ok = all(p.returncode == 0 for p in procs)
-    phases = {"dp": [], "packed": [], "flagship": [], "dlr": []}
+    phases = {"dp": [], "packed": [], "flagship": [], "dlr": [], "halo": []}
     for i, o in enumerate(outs):
         lines = [l for l in o.splitlines() if l.startswith("[proc")]
         for l in lines:
@@ -321,11 +359,11 @@ def main(argv=None):
                                       if "loss_final=" in l else l.split()[-1])
     complete = all(len(v) == args.num_processes for v in phases.values())
     agree = all(len(set(v)) == 1 for ph, v in phases.items()
-                if ph not in ("packed", "dlr"))  # those report per-proc errors
+                if ph not in ("packed", "dlr", "halo"))  # per-proc error phases
     if ok and complete and agree:
         print(f"multihost demo OK: {args.num_processes} processes, agents axis "
               f"across the process boundary (packed ppermute + GSPMD flagship "
-              f"+ dlr neighbor sums), losses agree")
+              f"+ dlr neighbor sums + edge-cut halo exchange), losses agree")
         return 0
     print("multihost demo FAILED")
     return 1

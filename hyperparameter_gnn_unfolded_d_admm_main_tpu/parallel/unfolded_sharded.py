@@ -237,6 +237,95 @@ def make_sharded_unroll_packed(
     return jax.jit(shard_fn)
 
 
+def make_sharded_unroll_halo(
+    mesh: Mesh,
+    halo_topo,
+    clamp_fn: Callable = dadmm_core.unfolded_clamps,
+    nan_guard: bool = True,
+    remat: bool = True,
+    gram_mode: str = "factored",
+    solver_dtype=None,
+    matmul_dtype=None,
+    final_only: bool = False,
+):
+    """Edge-cut halo-exchange sharded unroll (`parallel/halo.py`): consensus ships
+    only the BOUNDARY rows each neighbor shard actually reads — per-device bytes
+    drop from the packed ring's (s-1)*B*Pl*n to B*sum_t(H_t)*n, proportional to
+    the realized edge cut (6.3x fewer on partitioned geometric graphs at P=1024,
+    1.34x on degree-12 ER expanders — results_parity/scaling_projection.json).
+
+    `halo_topo` is a `halo.HaloTopology` built host-side from adjacency ALREADY in
+    partition order (`halo.greedy_equal_partition` + `halo.permute_agents` +
+    `halo.build_halo`); the returned jitted
+    `(state, hyp_table, op, Atb, halo_topo) -> Y` expects every agent-indexed
+    operand permuted the same way (un-permute outputs with
+    `halo.inverse_perm`). Same numerics as the dense unroll to float tolerance
+    (tests/test_halo.py). Reference consensus loop: `unfolded_DLASSO.py:127-140`.
+    """
+    from . import halo as halo_lib
+
+    if gram_mode not in ("gram", "factored"):
+        raise ValueError("sharded unroll needs an explicit gram_mode: 'gram' or 'factored'")
+    n_agent_shards = mesh.shape[AGENT_AXIS]
+
+    state_spec = dadmm_core.SolverState(
+        y=P(DATA_AXIS, AGENT_AXIS), U=P(DATA_AXIS, AGENT_AXIS), delta=P(DATA_AXIS, AGENT_AXIS)
+    )
+
+    def local_unroll(state, hyp_table, op, Atb, halo):
+        def consensus(y_local):
+            return halo_lib.halo_consensus_delta(
+                halo, y_local, num_shards=n_agent_shards, axis_name=AGENT_AXIS)
+
+        gram_fn = dadmm_core.make_gram_fn(
+            op if gram_mode == "gram" else None,
+            op if gram_mode == "factored" else None,
+            gram_mode,
+            matmul_dtype,
+        )
+        state, Atb = dadmm_core.cast_solver_dtype(state, Atb, solver_dtype)
+
+        def body(carry, xs):
+            st, k = carry, xs[0]
+            hyp_k = xs[1]
+            alpha = hyp_k[None, :, 0:1]
+            tau = hyp_k[None, :, 1:2]
+            rho = hyp_k[None, :, 2:3]
+            eta = hyp_k[None, :, 3:4]
+            AtAy = gram_fn(st.y)
+            nxt = dadmm_core.dadmm_step(
+                st, AtAy, Atb, halo.deg, alpha, tau, rho, eta,
+                clamp_fn(k), None,
+                consensus_fn=lambda _adj, y: consensus(y),
+                nan_guard=nan_guard,
+                finite_fn=_collective_finite_fn,
+            )
+            return nxt, (None if final_only else nxt.y)
+
+        if remat:
+            body = jax.checkpoint(body)
+        K = hyp_table.shape[0]
+        ks = jnp.arange(K, dtype=jnp.float32)
+        st_fin, Y = lax.scan(body, state, (ks, hyp_table))
+        return st_fin.y if final_only else Y
+
+    shard_fn = jax.shard_map(
+        local_unroll,
+        mesh=mesh,
+        in_specs=(
+            state_spec,
+            P(None, AGENT_AXIS),        # hyp_table [K, P, 4]
+            P(AGENT_AXIS),              # op: AtA [P, n, n] or A [P, m, n]
+            P(DATA_AXIS, AGENT_AXIS),   # Atb
+            halo_topo.spec(),           # O(Pl*D + sum H_t) per shard
+        ),
+        out_specs=(P(DATA_AXIS, AGENT_AXIS) if final_only
+                   else P(None, DATA_AXIS, AGENT_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
 def make_sharded_dlr_ghyp_unroll(
     mesh: Mesh,
     model,

@@ -148,6 +148,87 @@ def project_agent_axis(num_shards: int, P: int, B: int, n: int, K: int,
     )
 
 
+def measured_halo(P: int, num_shards: int, kind: str = "er",
+                  degree: float = 12.0, seed: int = 5) -> dict:
+    """Sample ONE deterministic graph of the given family at mean degree ~`degree`,
+    run the edge-cut partitioner, and return the REALIZED halo geometry the byte
+    model consumes (`parallel/halo.py`). Measured, not assumed: on ER expanders
+    the attainable cut stays high; on geometric graphs the partition finds the
+    spatial structure. Deterministic seeds keep the committed artifact
+    reproducible (tests/test_scaling_model.py regenerates and compares)."""
+    import numpy as np
+
+    from ..ops import graphs
+    from ..parallel import halo as halo_lib
+
+    if kind == "er":
+        adj = graphs.fast_sample_connected_er(seed, 1, P, degree / P)[0]
+    elif kind == "geometric":
+        radius = float(np.sqrt(degree / (np.pi * max(P - 1, 1))))
+        adj = graphs.sample_geometric(np.random.default_rng(seed), P, radius)
+    else:
+        raise ValueError(f"unknown graph kind {kind!r}")
+    perm = halo_lib.greedy_equal_partition(adj, num_shards)
+    adj_p, = halo_lib.permute_agents(perm, adj)
+    topo = halo_lib.build_halo(adj_p, num_shards)
+    sizes = topo.halo_sizes()
+    Pl = P // num_shards
+    s = num_shards
+    assign = halo_lib.inverse_perm(perm) // Pl
+    return {
+        "kind": kind, "P": P, "num_shards": s,
+        "mean_degree": float(np.asarray(adj).sum(-1).mean()),
+        "edge_cut": halo_lib.edge_cut(adj, assign, s),
+        "halo_sizes": list(sizes),
+        "halo_rows": int(sum(sizes)),
+        # bidirectional-ring hop weighting: an offset-t ppermute travels
+        # min(t, s-t) ICI hops, so link-time bytes are hop-multiplied
+        "halo_rows_hop_weighted": int(sum(
+            h * min(t, s - t) for t, h in zip(range(1, s), sizes))),
+        "ring_rows": (s - 1) * Pl,
+    }
+
+
+def project_agent_axis_halo(num_shards: int, P: int, B: int, n: int, K: int,
+                            halo_rows: int,
+                            link_bytes_s: float = ICI_BYTES_S,
+                            dtype_bytes: int = 4) -> AxisProjection:
+    """Agent-axis projection under the halo schedule: per-device bytes/iter are
+    `halo_rows * B * n * dtype_bytes` (each device sends its boundary rows once
+    per offset — `parallel/halo.py:halo_bytes_per_device_per_iter`) instead of
+    the ring's (s-1) * Pl * B * n. `halo_rows` comes from `measured_halo` (use
+    the hop-weighted count for a conservative multi-offset ring estimate);
+    dtype_bytes=2 models bf16 payloads (the solver's bf16-carry mode)."""
+    Pl = P // num_shards
+    t_comp = compute_sec_per_iter(Pl, B)
+    bytes_dev = halo_rows * B * n * dtype_bytes
+    t_comm = bytes_dev / link_bytes_s
+    t_iter = t_comp + t_comm
+    ips = 1.0 / t_iter
+    base = 1.0 / compute_sec_per_iter(P, B)
+    eff = ips / (base * num_shards)
+    return AxisProjection(
+        axis="agents_halo", hosts=num_shards, chips_per_host=1, P=P, B_global=B,
+        n=n, K=K, bytes_per_device_per_iter=bytes_dev,
+        link_bytes_s=link_bytes_s, t_compute_s=t_comp, t_comm_s=t_comm,
+        iters_per_sec_total=ips, efficiency_vs_1host=eff,
+    )
+
+
+def halo_breakeven_rows(target_eff: float = 0.8, num_shards: int = 2,
+                        n: int = 512, dtype_bytes: int = 4,
+                        P: int = 1024,
+                        link_bytes_s: float = ICI_BYTES_S) -> float:
+    """Largest total halo row count (sum of per-offset H_t) at which the halo
+    schedule still reaches `target_eff`. B cancels:
+      t_comp = c_a * Pl * B;  t_comm = H * B * n * d / BW
+      eff >= target  <=>  H <= c_a * Pl * BW * (1/target - 1) / (n * d).
+    This is the 'at what cut it breaks' statement the projection quotes."""
+    c_a = MEASURED_SEC_PER_ITER_P64 / (MEASURED_BASIS["P"] * MEASURED_BASIS["B"])
+    Pl = P // num_shards
+    return c_a * Pl * link_bytes_s * (1.0 / target_eff - 1.0) / (n * dtype_bytes)
+
+
 def agent_axis_breakeven_n(target_eff: float = 0.8, num_shards: int = 2,
                            link_bytes_s: float = ICI_BYTES_S) -> float:
     """Largest primal width n at which the agent-axis ring still reaches
@@ -178,6 +259,33 @@ def build_projection() -> dict:
             pr = asdict(project_agent_axis(shards, P, B, n, K, link_bytes_s=link))
             pr["link"] = name
             agent_rows.append(pr)
+    # Halo schedule (round 5): measured edge-cut partitions -> boundary-row
+    # exchange instead of the full-primal ring (parallel/halo.py). Rows carry the
+    # REALIZED halo geometry of deterministic sample graphs at the north-star
+    # degree (~12), both families, f32 and bf16 payloads.
+    halo_rows = []
+    halo_geom = {}
+    for kind in ("er", "geometric"):
+        for shards in (2, 4, 8):
+            geom = measured_halo(P, shards, kind=kind)
+            halo_geom[f"{kind}_s{shards}"] = geom
+            for dtype_bytes, dname in ((4, "f32"), (2, "bf16")):
+                pr = asdict(project_agent_axis_halo(
+                    shards, P, B, n, K,
+                    halo_rows=geom["halo_rows_hop_weighted"],
+                    dtype_bytes=dtype_bytes))
+                pr.update(link="ici", graph=kind, payload=dname,
+                          halo_rows=geom["halo_rows"],
+                          halo_rows_hop_weighted=geom["halo_rows_hop_weighted"],
+                          edge_cut=geom["edge_cut"])
+                halo_rows.append(pr)
+
+    def _halo_eff(kind, shards, dname):
+        for r in halo_rows:
+            if r["graph"] == kind and r["hosts"] == shards and r["payload"] == dname:
+                return r["efficiency_vs_1host"]
+        raise KeyError((kind, shards, dname))
+
     verdict = {
         "target": ">=80% iterations/s scaling efficiency 1->4 hosts (BASELINE.md)",
         "data_axis_eff_4_hosts": rows[-1]["efficiency_vs_1host"],
@@ -185,22 +293,38 @@ def build_projection() -> dict:
         "agent_axis_eff_2_shards_ici": agent_rows[0]["efficiency_vs_1host"],
         "agent_axis_meets_target_at_training_shapes": False,
         "agent_axis_80pct_max_n_2shards_ici": agent_axis_breakeven_n(0.8, 2),
+        # round 5: the halo schedule's measured numbers at the north-star shapes
+        "halo_eff_geometric_2_shards_bf16": _halo_eff("geometric", 2, "bf16"),
+        "halo_eff_geometric_2_shards_f32": _halo_eff("geometric", 2, "f32"),
+        "halo_eff_er_2_shards_bf16": _halo_eff("er", 2, "bf16"),
+        "halo_meets_target_geometric_2_shards_bf16":
+            _halo_eff("geometric", 2, "bf16") >= 0.8,
+        "halo_breakeven_rows_2_shards_bf16": halo_breakeven_rows(
+            0.8, 2, n, dtype_bytes=2, P=P),
+        "halo_breakeven_rows_2_shards_f32": halo_breakeven_rows(
+            0.8, 2, n, dtype_bytes=4, P=P),
         "conclusion": (
             "Put DCN on the DATA axis: batch sharding has zero per-iteration "
             "collectives (consensus mixes agents within a sample only) and its "
             "only cross-host traffic is the kilobyte-scale table-gradient psum "
             "per train step, giving >99% projected efficiency at 4 hosts — the "
-            ">=80% target holds with a wide margin. The AGENT-axis ppermute "
-            "ring ships ~the full global primal per device per iteration "
-            "(byte accounting verified against the traced collectives), which "
-            "at training shapes (n=512, any B) is 3.3x the per-shard compute "
-            "at 2 ICI shards and 23x at 8 — agent sharding is the "
-            "memory-capacity/serving-latency axis (narrow n or pod-scale P "
-            "that no longer fits one chip), not the throughput axis. The "
-            "multihost driver "
-            "lays meshes out accordingly (data across processes by default; "
-            "the DCN-crossing agent axis exists and is correctness-validated "
-            "in cli/multihost.py phase 2)."),
+            ">=80% target holds with a wide margin. The AGENT-axis full-primal "
+            "ppermute ring projects 23% at 2 ICI shards (n=512). The round-5 "
+            "HALO schedule (parallel/halo.py: edge-cut partition + boundary-row "
+            "exchange, byte accounting verified against its traced ppermutes) "
+            "attacks that number; whether it reaches 80% depends on the graph's "
+            "realized cut, measured here: GEOMETRIC graphs at degree ~12 "
+            "partition to an ~2-4% cut, and with bf16 payloads the 2-shard ICI "
+            "projection CLEARS the 80% target; degree-12 ER graphs are "
+            "expanders (measured cut stays >~0.5 at 2 shards even after "
+            "refinement), so their halo stays above the break-even row budget "
+            "(halo_breakeven_rows: eff>=0.8 needs sum(H_t) <= "
+            "c_a*Pl*BW*(1/0.8-1)/(n*d) rows — ~154 bf16 rows of Pl=512 at "
+            "s=2) and ER agent-sharding remains the memory/latency axis, not "
+            "the throughput axis. The multihost driver lays meshes out "
+            "accordingly (data across processes by default; the agent axis — "
+            "ring and halo — is correctness-validated across real process "
+            "boundaries in cli/multihost.py)."),
     }
     return {
         "measured_basis": {**MEASURED_BASIS,
@@ -211,6 +335,8 @@ def build_projection() -> dict:
                    "chips_per_host": chips_per_host},
         "data_axis": rows,
         "agent_axis": agent_rows,
+        "agent_axis_halo": halo_rows,
+        "halo_geometry": halo_geom,
         "verdict": verdict,
     }
 
@@ -233,6 +359,14 @@ def main(argv=None):
           f"{v['agent_axis_eff_2_shards_ici']:.3f}")
     print(f"agent axis reaches 80% only for n <= "
           f"{v['agent_axis_80pct_max_n_2shards_ici']:.0f} (any B)")
+    print(f"halo schedule at 2 ICI shards, P=1024 deg~12: geometric bf16 "
+          f"{v['halo_eff_geometric_2_shards_bf16']:.3f} "
+          f"({'MEETS' if v['halo_meets_target_geometric_2_shards_bf16'] else 'misses'} "
+          f"80%), geometric f32 {v['halo_eff_geometric_2_shards_f32']:.3f}, "
+          f"ER bf16 {v['halo_eff_er_2_shards_bf16']:.3f}")
+    print(f"halo break-even: eff>=0.8 needs sum(H_t) <= "
+          f"{v['halo_breakeven_rows_2_shards_bf16']:.0f} bf16 rows "
+          f"({v['halo_breakeven_rows_2_shards_f32']:.0f} f32) of Pl=512")
     print(f"wrote {out}")
 
 

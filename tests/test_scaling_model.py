@@ -178,9 +178,16 @@ def test_projection_artifact_is_current():
     assert committed["verdict"]["data_axis_meets_target"] is True
     assert committed["data_axis"] == fresh["data_axis"]
     assert committed["agent_axis"] == fresh["agent_axis"]
+    assert committed["agent_axis_halo"] == fresh["agent_axis_halo"]
+    assert committed["halo_geometry"] == fresh["halo_geometry"]
     # and the headline numbers the DESIGN.md section quotes
     assert committed["verdict"]["data_axis_eff_4_hosts"] > 0.99
     assert committed["verdict"]["agent_axis_eff_2_shards_ici"] < 0.3
+    # round 5: the halo schedule's headline — geometric graphs CLEAR the 80%
+    # agent-axis target at 2 ICI shards (bf16 and f32); ER expanders do not
+    assert committed["verdict"]["halo_meets_target_geometric_2_shards_bf16"] is True
+    assert committed["verdict"]["halo_eff_geometric_2_shards_f32"] >= 0.8
+    assert committed["verdict"]["halo_eff_er_2_shards_bf16"] < 0.8
 
 
 def test_agent_axis_breakeven_formula():
