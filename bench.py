@@ -22,7 +22,8 @@ Variant ordering is budget-aware (remote-compile latency through the tunnel is h
 variable): the persistent compile cache (`utils/platform.enable_compile_cache`,
 `.xla_cache/` — warmed by in-session runs) is enabled first, then the headline forward
 variants, then the TRAINING variants (the production fwd+bwd path — these must land in
-the recorded artifact), then the reference-shape P=8 grid and the classic color-sweep
+the recorded artifact), then the GNN-hypernetwork training tiers (gnn_train_P64 /
+ghyp1c_train_P64), then the reference-shape P=8 grid and the classic color-sweep
 row, and only then the informational forward ablations.
 """
 
@@ -84,10 +85,11 @@ def variant_roofline(tag: str) -> dict:
 def attach_rooflines(variants: dict) -> dict:
     """iter/s -> %-of-peak for every unfolded-family variant (headline shape and
     ref_shape P=8; classic_* is a different algorithm — Gauss-Seidel color sweeps
-    over a row-partitioned global A — so the model doesn't apply and it's skipped)."""
+    over a row-partitioned global A — and the gnn_/ghyp1c_ training tiers run
+    hypernetwork evals the state/operand model doesn't cover, so both are skipped)."""
     out = {}
     for tag, v in variants.items():
-        if v is None or tag.startswith("classic"):
+        if v is None or tag.startswith(("classic", "gnn_", "ghyp")):
             continue
         ips = v[0]
         r = variant_roofline(tag)
@@ -267,6 +269,72 @@ def bench_tpu():
             variants[tag] = timed_train(tag, masked_k=mk, **tkw)
         except Exception as e:  # noqa: BLE001 - extras must never kill the bench
             print(f"variant {tag} failed: {e}", file=sys.stderr, flush=True)
+
+    # GNN-hypernetwork training tiers at P=64/B=64/K=15 (VERDICT r4 item 4: the
+    # hypernetwork family — the repo's namesake — belongs on the driver-recorded
+    # scoreboard, not just in in-session scripts). One full production train step:
+    # value_and_grad through model.apply_losses (K hypernetwork evals inside the
+    # scan for the flagship; one eval + corrector for GHyp1c) + AdamW update.
+    # iter/s counts D-ADMM iterations (steps/s = iter/s / K; detail file has
+    # sec_per_unroll). Matches results_parity/{gnn,ghyp1c}_scale_bench_script.py.
+    if time.monotonic() < deadline:
+        try:
+            import optax
+
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.config import Config
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.models.gnn_hypernet import (
+                DLASSOGNNHyp, DLASSOGNNHypOneShotCorrected)
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.ops import data as data_ops
+            from hyperparameter_gnn_unfolded_d_admm_main_tpu.train import optim
+
+            gcfg = Config(P=P, m=M, n=N, GHyp_hidden=100, GHN_iter_num=K,
+                          batch_size=64, gram_mode="factored", data_noise=True)
+            Ag = sensing.set_A(jax.random.key(30), gcfg.P, gcfg.m, gcfg.n)
+            bg, yg = data_ops.make_dataset(jax.random.key(31), Ag, gcfg.batch_size,
+                                           noise=True)
+            adjg = jnp.asarray(graphs.fast_sample_connected_er(
+                2, gcfg.batch_size, gcfg.P, 0.3))
+            gkey = jax.random.key(32)
+
+            for tag, model_cls in (("gnn_train_P64", DLASSOGNNHyp),
+                                   ("ghyp1c_train_P64", DLASSOGNNHypOneShotCorrected)):
+                if time.monotonic() > deadline:
+                    print(f"skipping {tag}: bench budget exhausted",
+                          file=sys.stderr, flush=True)
+                    continue
+                model = model_cls(Ag, gcfg)
+                gparams, gnorm = model.init(jax.random.key(33))
+                gtx = optim.make_optimizer("adamw", 9e-4, weight_decay=1e-5,
+                                           clip_norm=100.0)
+                gopt = gtx.init(gparams)
+
+                def gstep(p0, ns0, os0, kk, _model=model, _tx=gtx):
+                    def loss_fn(p):
+                        per_kp, _hyp, ns2 = _model.apply_losses(
+                            p, ns0, kk, bg, adjg, yg,
+                            training_iterations=K, training=True)
+                        _lm, lf = loss_lib.losses_from_per_kp(per_kp)
+                        return lf, ns2
+                    (lf, ns2), g = jax.value_and_grad(loss_fn, has_aux=True)(p0)
+                    upd, os2 = _tx.update(g, os0, p0)
+                    return optax.apply_updates(p0, upd), ns2, os2, lf
+
+                gjit = jax.jit(gstep)
+                print(f"compiling {tag}...", file=sys.stderr, flush=True)
+                t0 = time.perf_counter()
+                out = gjit(gparams, gnorm, gopt, gkey)
+                jax.block_until_ready(out[3])
+                print(f"compiled {tag} in {time.perf_counter() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
+                # Plausibility floor: one step must at least rewrite params +
+                # 2x Adam moments through HBM.
+                pbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                             for x in jax.tree.leaves(gparams))
+                variants[tag] = time_loop(
+                    lambda *a, _g=gjit: _g(*a)[3], (gparams, gnorm, gopt, gkey),
+                    3 * pbytes, tag)
+        except Exception as e:  # noqa: BLE001
+            print(f"gnn-tier variants failed: {e}", file=sys.stderr, flush=True)
 
     # Reference-shape config (small agent count, like the paper benchmarks): P=8.
     # Also times the VMEM-resident factored Pallas kernel here — the shape where its
@@ -455,7 +523,7 @@ def build_records(variants, base_ips, baseline_source):
     step times) is written to results_parity/bench_detail.json.
     """
     headline = {k: v for k, v in variants.items()
-                if not k.startswith(("ref_shape", "train_", "classic"))}
+                if not k.startswith(("ref_shape", "train_", "classic", "gnn_", "ghyp"))}
     if not headline:  # every variant dropped (all-implausible timing): report honestly
         rec = {"metric": "dadmm_iter_per_sec_per_chip", "value": 0.0,
                "unit": "iter/s", "vs_baseline": 0.0,

@@ -24,6 +24,8 @@ def _full_grid():
         "train_fwd_bwd_bf16_state_maskedk",
         "train_fwd_bwd_noremat",
         "train_fwd_bwd_bf16mm",
+        "gnn_train_P64",
+        "ghyp1c_train_P64",
         "ref_shape_P8_noguard",
         "ref_shape_P8_pallas_resident",
         "classic_P5_color_sweep",
@@ -71,6 +73,19 @@ def test_headline_excludes_train_ref_classic():
     grid["train_fwd_bwd_factored"] = (999999.99, 0.001)
     record, _ = bench.build_records(grid, 0.1088, "measured_this_run")
     assert record["value"] == 123456.78
+    # same for the GNN training tiers (different shape/units than the headline fwd)
+    grid["train_fwd_bwd_factored"] = (123456.78, 0.003375)
+    grid["ghyp1c_train_P64"] = (999999.99, 0.001)
+    record, _ = bench.build_records(grid, 0.1088, "measured_this_run")
+    assert record["value"] == 123456.78
+
+
+def test_rooflines_skip_gnn_and_classic():
+    _, detail = bench.build_records(_full_grid(), 0.1088, "measured_this_run")
+    assert "gnn_train_P64" not in detail["rooflines"]
+    assert "ghyp1c_train_P64" not in detail["rooflines"]
+    assert "classic_P5_color_sweep" not in detail["rooflines"]
+    assert "train_fwd_bwd_factored" in detail["rooflines"]
 
 
 def test_all_dropped_reports_honest_zero():
