@@ -67,15 +67,24 @@ Binary frames cover the hot dlasso/GNN solve (no adj override); everything else
 (dlr fits, topology overrides, cmds) stays on JSON. Client helpers:
 `binary_solve(rfile, wfile, b)` below.
 
-`--coalesce_ms T` enables cross-request batching on the dlasso/GNN solve path:
-a dispatcher gathers concurrent requests for up to T ms (or `max_batch`
-samples) into ONE padded solve and scatters the slices — N small-B clients
-approach the big-batch single-request rate instead of serializing on the
-solver lock (see `_Coalescer`). Requests with an "adj" override bypass it.
+`--coalesce_ms T` enables cross-request batching on the hot solve path of
+EVERY family (dlasso/GNN observation solves, dlr regression fits — unfolded
+and classic-table — and classic global-observation solves): a dispatcher
+gathers concurrent requests for up to T ms (or `max_batch` samples) into ONE
+padded solve and scatters the slices — N small-B clients approach the
+big-batch single-request rate instead of serializing on the solver lock (see
+`_Coalescer`). Requests with an "adj" override bypass it.
+
+`--max_pending N` bounds the solve queue (admission control): at most N solve
+requests may be pending (in flight + waiting) at once; excess requests are
+shed IMMEDIATELY with an `OverloadedError` response (JSON error / DBE1 frame)
+instead of queueing unboundedly, and the `shed` stats counter records them.
+Default 0 = unbounded (measure-the-ceiling mode).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import socketserver
@@ -156,6 +165,7 @@ class _Stats:
         self.samples = 0
         self.coalesced_batches = 0
         self.coalesced_requests = 0
+        self.shed = 0
         self._lat = deque(maxlen=1024)
 
     def record(self, latency_ms: float, samples: int, ok: bool = True):
@@ -176,6 +186,14 @@ class _Stats:
             self.coalesced_batches += 1
             self.coalesced_requests += n_requests
 
+    def record_shed(self):
+        # Sheds are load management, not failures: counted in `requests` (the
+        # client did offer a solve) and `shed`, never in `errors`, and they
+        # contribute no latency sample (the refusal is immediate).
+        with self._lock:
+            self.requests += 1
+            self.shed += 1
+
     def snapshot(self) -> dict:
         import numpy as np
 
@@ -183,7 +201,7 @@ class _Stats:
             lats = list(self._lat)
             snap = {"uptime_s": round(time.time() - self.t_start, 1),
                     "requests": self.requests, "errors": self.errors,
-                    "samples_solved": self.samples,
+                    "samples_solved": self.samples, "shed": self.shed,
                     "coalesced_batches": self.coalesced_batches,
                     "coalesced_requests": self.coalesced_requests}
         if lats:
@@ -194,8 +212,22 @@ class _Stats:
         return snap
 
 
+class OverloadedError(RuntimeError):
+    """Raised when `--max_pending` admission control sheds a solve request.
+
+    The daemon measures a hard throughput ceiling (the compiled solve rate);
+    when offered load exceeds it, unbounded queueing just converts the excess
+    into latency (measured r4: p50 1004 ms at 8 uncoalesced clients — every
+    request happily waits). With `--max_pending N`, at most N solve requests
+    may be admitted (in flight + waiting on the solver lock / coalescing
+    queue) at once; the N+1-th is refused IMMEDIATELY with this error (JSON
+    `{"error": "OverloadedError: ..."}` / binary DBE1 frame), so clients get
+    backpressure they can react to instead of a silently growing tail. Sheds
+    are counted separately from errors in the stats (`shed`)."""
+
+
 class _Coalescer:
-    """Cross-request batching for the hot dlasso/GNN solve path.
+    """Cross-request batching for the hot solve paths (dlasso/GNN and dlr).
 
     Without it, N small-B clients serialize on the solver lock and each pays a
     full dispatch (measured r3/r4: concurrency adds queueing delay, not chip
@@ -204,15 +236,25 @@ class _Coalescer:
     padded solve, then scatters the per-request slices — so 8 clients at B=8
     approach the B=64 single-request rate instead of 8x the B=8 rate.
 
+    A server serves one problem family, so the coalescer is built with that
+    family's `kind` ("dlasso" = observation solves via `_Solver.solve`;
+    "dlr" = regression fits via `_Solver.solve_dlr`, both the unfolded and
+    classic-table dlr solvers; "classic" = global-observation color-sweep
+    solves via `_Solver.solve_classic`) and every queued item carries the same
+    tuple layout — (b,) or (x, y) — concatenated position-wise into the fused
+    batch.
+
     Note on numerics: the solver's random state init assigns noise by position
     in the padded batch, so a coalesced request's answer can differ from its
     solo-request answer within the solver's init-noise tolerance — exactly as
     it already does between two clients batching differently. Requests with a
     topology override bypass coalescing (they need their own adj)."""
 
-    def __init__(self, solver: "_Solver", window_ms: float):
+    def __init__(self, solver: "_Solver", window_ms: float, kind: str = "dlasso"):
         import queue
 
+        assert kind in ("dlasso", "dlr", "classic"), kind
+        self._kind = kind
         self._q: "queue.Queue" = queue.Queue()
         self._solver = solver
         self._window = window_ms / 1e3
@@ -227,9 +269,41 @@ class _Coalescer:
         if b_np.ndim != 3 or b_np.shape[1:] != (s.P, s.m):
             raise ValueError(
                 f"b must be [B,{s.P},{s.m}], got {list(b_np.shape)}")
+        (y,) = self._submit((b_np,))
+        return y, b_np.shape[0]
+
+    def solve_dlr(self, x_np, y_np):
+        # Same per-item validation/normalization as _Solver.solve_dlr so the
+        # position-wise concatenation below is shape-safe.
+        s = self._solver
+        if x_np.ndim == 2:
+            x_np = x_np[None]
+        if y_np.ndim == 1:
+            y_np = y_np[None]
+        if y_np.ndim == 2:
+            y_np = y_np[..., None]
+        B = x_np.shape[0]
+        if x_np.shape[1:] != (s.P, s.m) or y_np.shape != (B, s.P, 1):
+            raise ValueError(
+                f"x must be [B,{s.P},{s.m}] and y [B,{s.P}], got "
+                f"{list(x_np.shape)} / {list(y_np.shape)}")
+        a, w = self._submit((x_np, y_np))
+        return a, w, B
+
+    def solve_classic(self, b_np):
+        s = self._solver
+        if b_np.ndim == 1:
+            b_np = b_np[None]
+        if b_np.ndim != 2 or b_np.shape[1:] != (s.m,):
+            raise ValueError(f"b must be [B,{s.m}] (global observation), "
+                             f"got {list(b_np.shape)}")
+        (y,) = self._submit((b_np,))
+        return y, b_np.shape[0]
+
+    def _submit(self, arrays):
         ev = threading.Event()
         slot: dict = {}
-        self._q.put((b_np, slot, ev))
+        self._q.put((arrays, slot, ev))
         # Bounded wait: if the dispatcher thread ever died, fail THIS request
         # with a clear error instead of hanging its handler forever (the
         # per-solve budget is generous — a coalesced window is the --coalesce_ms
@@ -240,9 +314,21 @@ class _Coalescer:
                 f"{self.SOLVE_TIMEOUT_S:.0f}s (dispatcher stalled or dead)")
         if "err" in slot:
             raise slot["err"]
-        return slot["y"], b_np.shape[0]
+        return slot["out"]
 
     SOLVE_TIMEOUT_S = 120.0   # >> any window + dispatch; only trips on a wedge
+
+    def _dispatch(self, arrays):
+        """Run one fused solve; returns the per-sample output arrays to scatter
+        (row i of each output belongs to sample i of the fused batch)."""
+        if self._kind == "dlr":
+            a, w, _ = self._solver.solve_dlr(*arrays)
+            return (a, w)
+        if self._kind == "classic":
+            y, _ = self._solver.solve_classic(arrays[0])
+            return (y,)
+        y, _ = self._solver.solve(arrays[0])
+        return (y,)
 
     def _loop(self):
         import queue as _q
@@ -255,7 +341,7 @@ class _Coalescer:
             try:
                 items = [self._q.get()]
                 deadline = time.perf_counter() + self._window
-                total = items[0][0].shape[0]
+                total = items[0][0][0].shape[0]
                 while total < self._solver.max_batch:
                     left = deadline - time.perf_counter()
                     if left <= 0:
@@ -265,23 +351,24 @@ class _Coalescer:
                     except _q.Empty:
                         break
                     items.append(nxt)
-                    total += nxt[0].shape[0]
+                    total += nxt[0][0].shape[0]
                 np = self._solver._np
-                y_all, _ = self._solver.solve(
-                    np.concatenate([it[0] for it in items]))
+                fused = tuple(np.concatenate(pos)
+                              for pos in zip(*(it[0] for it in items)))
+                outs = self._dispatch(fused)
                 if len(items) > 1:
                     self._solver.stats.record_coalesced(len(items))
                 off = 0
-                for b_np, slot, ev in items:
-                    n = b_np.shape[0]
-                    slot["y"] = y_all[off:off + n]
+                for arrays, slot, ev in items:
+                    n = arrays[0].shape[0]
+                    slot["out"] = tuple(o[off:off + n] for o in outs)
                     off += n
                     ev.set()
             except Exception:  # noqa: BLE001 - isolate: retry each item alone so
                 # one failing payload cannot poison its window-mates
-                for b_np, slot, ev in items:
+                for arrays, slot, ev in items:
                     try:
-                        slot["y"], _ = self._solver.solve(b_np)
+                        slot["out"] = self._dispatch(arrays)
                     except Exception as e2:  # noqa: BLE001
                         slot["err"] = e2
                     ev.set()
@@ -305,6 +392,9 @@ class _Solver:
         from ..utils import checkpoint as ckpt
 
         self.coalescer = None   # set by main() when --coalesce_ms > 0
+        self.max_pending = None  # set by main() when --max_pending > 0
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         self.stats = _Stats()
         args_path = os.path.join(run_dir, "args.json")
         cfg = None
@@ -938,6 +1028,28 @@ class _Solver:
                 w_out.append(np.asarray(w)[:n_real, :, 0])
         return np.concatenate(a_out), np.concatenate(w_out), B
 
+    @contextlib.contextmanager
+    def admission(self):
+        """Bounded-pending admission gate (`--max_pending`). Every handler
+        solve — direct, coalesced, any family — runs inside this context:
+        `_pending` counts admitted requests from acceptance to completion
+        (waiting on the solver lock / coalescing queue included), and request
+        `max_pending + 1` is shed IMMEDIATELY with OverloadedError instead of
+        joining an unbounded queue. None (default) = admit everything."""
+        if self.max_pending is not None:
+            with self._pending_lock:
+                if self._pending >= self.max_pending:
+                    raise OverloadedError(
+                        f"overloaded: {self._pending} solve requests pending "
+                        f">= max_pending={self.max_pending}; retry later")
+                self._pending += 1
+        try:
+            yield
+        finally:
+            if self.max_pending is not None:
+                with self._pending_lock:
+                    self._pending -= 1
+
     def solve(self, b_np, adj_np=None):
         np, jnp = self._np, self._jnp
         if b_np.ndim == 2:
@@ -989,22 +1101,26 @@ def _make_handler(solver: _Solver, server_ref: dict,
                 return False
             t0 = time.perf_counter()
             try:
-                if solver.case == "dlr":
-                    raise ValueError(
-                        "binary frames serve the dlasso/GNN families; dlr uses JSON")
-                if solver.case == "classic":
-                    # classic observations are global [B, m]: frames carry P=1
-                    if P != 1:
+                with solver.admission():
+                    if solver.case == "dlr":
                         raise ValueError(
-                            f"classic frames need P=1 (global b), got P={P}")
-                    b = np.frombuffer(payload, "<f4").reshape(B, m)
-                    y_hat, B_out = solver.solve_classic(b)
-                elif solver.coalescer is not None:
-                    b = np.frombuffer(payload, "<f4").reshape(B, P, m)
-                    y_hat, B_out = solver.coalescer.solve(b)
-                else:
-                    b = np.frombuffer(payload, "<f4").reshape(B, P, m)
-                    y_hat, B_out = solver.solve(b)
+                            "binary frames serve the dlasso/GNN families; dlr uses JSON")
+                    if solver.case == "classic":
+                        # classic observations are global [B, m]: frames carry P=1
+                        if P != 1:
+                            raise ValueError(
+                                f"classic frames need P=1 (global b), got P={P}")
+                        b = np.frombuffer(payload, "<f4").reshape(B, m)
+                        if solver.coalescer is not None:
+                            y_hat, B_out = solver.coalescer.solve_classic(b)
+                        else:
+                            y_hat, B_out = solver.solve_classic(b)
+                    elif solver.coalescer is not None:
+                        b = np.frombuffer(payload, "<f4").reshape(B, P, m)
+                        y_hat, B_out = solver.coalescer.solve(b)
+                    else:
+                        b = np.frombuffer(payload, "<f4").reshape(B, P, m)
+                        y_hat, B_out = solver.solve(b)
                 # Solve latency is measured HERE — around the solver call only
                 # (incl. any coalescing-window wait), excluding response
                 # serialization and socket I/O — the same definition as the
@@ -1018,7 +1134,10 @@ def _make_handler(solver: _Solver, server_ref: dict,
                 # lands in the except and must not double-count the request
                 solver.stats.record(lat_ms, B_out)
             except Exception as e:  # noqa: BLE001 - bad frame payload must not kill serving
-                solver.stats.record(0.0, 0, ok=False)
+                if isinstance(e, OverloadedError):
+                    solver.stats.record_shed()
+                else:
+                    solver.stats.record(0.0, 0, ok=False)
                 msg = f"{type(e).__name__}: {e}".encode()
                 self.wfile.write(struct.pack("<4sI", BIN_ERR_MAGIC, len(msg)) + msg)
             self.wfile.flush()
@@ -1075,7 +1194,11 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         y = np.asarray(req["y"], np.float32)
                         adj = (np.asarray(req["adj"], np.float32)
                                if "adj" in req else None)
-                        a, w, B = solver.solve_dlr(x, y, adj)
+                        with solver.admission():
+                            if solver.coalescer is not None and adj is None:
+                                a, w, B = solver.coalescer.solve_dlr(x, y)
+                            else:
+                                a, w, B = solver.solve_dlr(x, y, adj)
                         resp = {"a": a.tolist(), "w": w.tolist(), "batch": B,
                                 "K": solver.K,
                                 "latency_ms": round(
@@ -1084,7 +1207,11 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         b = np.asarray(req["b"], np.float32)
                         adj = (np.asarray(req["adj"], np.float32)
                                if "adj" in req else None)
-                        y_hat, B = solver.solve_classic(b, adj)
+                        with solver.admission():
+                            if solver.coalescer is not None and adj is None:
+                                y_hat, B = solver.coalescer.solve_classic(b)
+                            else:
+                                y_hat, B = solver.solve_classic(b, adj)
                         resp = {"y_hat": y_hat.tolist(), "batch": B,
                                 "K": solver.K,
                                 "latency_ms": round(
@@ -1093,12 +1220,13 @@ def _make_handler(solver: _Solver, server_ref: dict,
                         b = np.asarray(req["b"], np.float32)
                         adj = (np.asarray(req["adj"], np.float32)
                                if "adj" in req else None)
-                        if solver.coalescer is not None and adj is None:
-                            if b.ndim == 2:
-                                b = b[None]
-                            y_hat, B = solver.coalescer.solve(b)
-                        else:
-                            y_hat, B = solver.solve(b, adj)
+                        with solver.admission():
+                            if solver.coalescer is not None and adj is None:
+                                if b.ndim == 2:
+                                    b = b[None]
+                                y_hat, B = solver.coalescer.solve(b)
+                            else:
+                                y_hat, B = solver.solve(b, adj)
                         resp = {"y_hat": y_hat.tolist(), "batch": B, "K": solver.K,
                                 "latency_ms": round(
                                     (time.perf_counter() - t0) * 1e3, 3)}
@@ -1110,7 +1238,9 @@ def _make_handler(solver: _Solver, server_ref: dict,
                     # cmd request (bad reload name etc.) is answered but not
                     # counted — else an idle daemon's dashboard reads 100%
                     # error rate from operator typos
-                    if not (isinstance(req, dict) and "cmd" in req):
+                    if isinstance(e, OverloadedError):
+                        solver.stats.record_shed()
+                    elif not (isinstance(req, dict) and "cmd" in req):
                         solver.stats.record(0.0, 0, ok=False)
                     resp = {"error": f"{type(e).__name__}: {e}"}
                 self.wfile.write(json.dumps(resp).encode() + b"\n")
@@ -1125,7 +1255,8 @@ def main(argv=None):
         print("usage: serve <run_dir> [--port 8763] [--host 127.0.0.1] "
               "[--max_batch 32] [--ckpt best] [--device tpu] [--dtype bfloat16] "
               "[--gram_mode factored] [--mesh_data D] [--mesh_agents A] "
-              "[--compile_cache DIR] [--max_request_mb 64] [--coalesce_ms T]")
+              "[--compile_cache DIR] [--max_request_mb 64] [--coalesce_ms T] "
+              "[--max_pending N]")
         return
     run_dir = argv[0]
     opts = dict(zip(argv[1::2], argv[2::2]))
@@ -1185,11 +1316,17 @@ def main(argv=None):
     if coalesce_ms < 0:
         raise SystemExit(f"--coalesce_ms must be >= 0, got {coalesce_ms}")
     if coalesce_ms > 0:
-        if solver.case in ("dlr", "classic"):
-            print("note: --coalesce_ms covers the dlasso/GNN solve path; "
-                  f"{solver.case} requests run direct", file=sys.stderr)
-        else:
-            solver.coalescer = _Coalescer(solver, coalesce_ms)
+        kind = solver.case if solver.case in ("dlr", "classic") else "dlasso"
+        solver.coalescer = _Coalescer(solver, coalesce_ms, kind)
+    try:
+        max_pending = int(opts.get("--max_pending", "0"))
+    except (TypeError, ValueError):
+        raise SystemExit(f"--max_pending must be an integer, "
+                         f"got {opts.get('--max_pending')!r}")
+    if max_pending < 0:
+        raise SystemExit(f"--max_pending must be >= 0, got {max_pending}")
+    if max_pending > 0:
+        solver.max_pending = max_pending
 
     server_ref: dict = {}
     socketserver.ThreadingTCPServer.allow_reuse_address = True

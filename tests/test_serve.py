@@ -759,3 +759,181 @@ def test_serve_stats_endpoint():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_dlr_coalescing_routing():
+    """--coalesce_ms on a dlr run batches concurrent regression fits into one
+    padded solve; the routing invariant is the same as dlasso's: every client
+    gets the fit of ITS OWN (x, y) back. Each of 4 threads fits a distinct
+    linear model; the returned (a, w) must predict its own y well and any
+    other thread's y badly. Uses the GHyp tier: its fit quality (~0.01-0.09
+    MSE fraction solo AND fused, vs >1.8 cross-client) gives the routing
+    check an order-of-magnitude margin over coalescing init-noise drift."""
+    import threading
+
+    run = DLR_RUNS["GHyp"]
+    if not os.path.exists(os.path.join(run, "best", "state.msgpack")):
+        pytest.skip("trained dlr run not present")
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         run, "--device", "cpu", "--port", "0", "--max_batch", "8",
+         "--coalesce_ms", "30"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        P, d = ready["P"], ready["m"]
+        rng = np.random.default_rng(5)
+        N = 4
+        a_true = rng.standard_normal((N, d))
+        b_true = rng.standard_normal((N, 1))
+        xs = rng.standard_normal((N, 2, P, d)).astype(np.float32) / np.sqrt(d)
+        ys = (np.einsum("cbpd,cd->cbp", xs, a_true)
+              + b_true[:, None]).astype(np.float32)
+
+        barrier = threading.Barrier(N)
+        results = [None] * N
+
+        def client(i):
+            cli = Client(ready["host"], ready["port"])
+            barrier.wait()
+            for _ in range(3):  # several rounds: coalesced compositions vary
+                r = cli.call({"x": xs[i].tolist(), "y": ys[i].tolist()})
+            results[i] = (np.asarray(r["a"]), np.asarray(r["w"]))
+            cli.sock.close()
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(N)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i in range(N):
+            assert results[i] is not None, f"client {i} got no answer"
+            a, w = results[i]
+            assert a.shape == (2, P, d) and w.shape == (2, P)
+            pred = np.einsum("bpd,bpd->bp", xs[i], a) + w
+            own = np.mean((pred - ys[i]) ** 2) / np.var(ys[i])
+            assert own < 0.2, f"client {i} fit MSE frac vs own y: {own:.3f}"
+            for j in range(N):
+                if j == i:
+                    continue
+                pred_j = np.einsum("bpd,bpd->bp", xs[j], a) + w
+                other = np.mean((pred_j - ys[j]) ** 2) / np.var(ys[j])
+                assert other > max(own * 5, 0.3), (
+                    f"client {i}'s fit predicts client {j}'s data "
+                    f"({other:.3f} vs own {own:.3f}) — dlr coalescer "
+                    "mixed samples")
+
+        # adj-override dlr requests bypass the coalescer cleanly
+        cli = Client(ready["host"], ready["port"])
+        adj = np.zeros((P, P)); adj[0, 1:] = adj[1:, 0] = 1
+        r2 = cli.call({"x": xs[0].tolist(), "y": ys[0].tolist(),
+                       "adj": adj.tolist()})
+        assert np.isfinite(np.asarray(r2["a"])).all()
+        assert cli.call({"cmd": "shutdown"})["ok"]
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+
+def test_serve_overload_shedding():
+    """--max_pending 1: when concurrent offered load exceeds the solve queue
+    bound, excess requests are refused IMMEDIATELY with an OverloadedError
+    response (JSON error / binary DBE1) instead of queueing without limit;
+    sheds land in the `shed` stats counter, not `errors`, and the daemon
+    keeps serving afterwards."""
+    import threading
+
+    from hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve import binary_solve
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "8",
+         "--max_pending", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        b = np.zeros((4, 5, 100), np.float32)
+
+        N, ROUNDS = 6, 4
+        barrier = threading.Barrier(N)
+        ok_count = [0] * N
+        shed_count = [0] * N
+        bad = []
+
+        def client(i):
+            cli = Client(ready["host"], ready["port"])
+            barrier.wait()
+            for _ in range(ROUNDS):
+                r = cli.call({"b": b.tolist()})
+                if "y_hat" in r:
+                    ok_count[i] += 1
+                elif "OverloadedError" in r.get("error", ""):
+                    shed_count[i] += 1
+                else:
+                    bad.append(r)
+            cli.sock.close()
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(N)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not bad, f"unexpected responses: {bad[:3]}"
+        n_ok, n_shed = sum(ok_count), sum(shed_count)
+        assert n_ok >= 1, "no request was ever admitted"
+        assert n_shed >= 1, "no request was ever shed at 6x concurrency"
+        assert n_ok + n_shed == N * ROUNDS
+
+        cli = Client(ready["host"], ready["port"])
+        s = cli.call({"cmd": "stats"})
+        assert s["shed"] == n_shed
+        assert s["errors"] == 0              # sheds are not failures
+        assert s["requests"] == N * ROUNDS   # but they ARE offered solves
+        assert s["samples_solved"] == 4 * n_ok
+
+        # binary path sheds with a DBE1 OverloadedError frame: race two
+        # binary clients against the single admission slot — whenever their
+        # tight solve loops overlap (near-certain within a few dozen rounds),
+        # one of them is refused with the error frame.
+        import time as _time
+
+        shed_seen = threading.Event()
+
+        def bin_racer():
+            c = Client(ready["host"], ready["port"])
+            t_end = _time.monotonic() + 30
+            while not shed_seen.is_set() and _time.monotonic() < t_end:
+                try:
+                    binary_solve(c.f, c.f, b)
+                except RuntimeError as e:
+                    if "OverloadedError" in str(e):
+                        shed_seen.set()
+                        break
+                    raise
+            c.sock.close()
+
+        racers = [threading.Thread(target=bin_racer) for _ in range(3)]
+        for t in racers:
+            t.start()
+        for t in racers:
+            t.join(timeout=120)
+        assert shed_seen.is_set(), \
+            "binary path never shed with 3 racing clients on 1 slot"
+
+        # daemon is healthy after the storm
+        assert cli.call({"cmd": "ping"})["ok"]
+        assert "y_hat" in cli.call({"b": b.tolist()})
+        assert cli.call({"cmd": "shutdown"})["ok"]
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)

@@ -223,3 +223,61 @@ def test_classic_dlr_serves_regression_fits():
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_classic_serve_coalescing_matches_direct():
+    """--coalesce_ms on a classic run fuses concurrent global-observation
+    solves into one color-sweep batch. The classic solver's state init is
+    deterministic (zeros) and samples are independent along the batch axis,
+    so every client's coalesced answer must match its direct per-sample
+    solve exactly (2e-4, same as the protocol parity test)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "hyperparameter_gnn_unfolded_d_admm_main_tpu.cli.serve",
+         RUN, "--device", "cpu", "--port", "0", "--max_batch", "8",
+         "--coalesce_ms", "25"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        table = _expected_table()
+        solver, sched, A_global = _direct_solver()
+        rng = np.random.default_rng(9)
+        N = 3
+        ys = 2.0 * rng.standard_normal((N, 2000)) * (rng.random((N, 2000)) <= 0.25)
+        bs = np.einsum("mn,bn->bm", np.asarray(A_global), ys).astype(np.float32)
+
+        X, _, _ = solver.run(jnp.asarray(table), jnp.asarray(bs), sched)
+        want = np.asarray(X).mean(axis=0)
+
+        barrier = threading.Barrier(N)
+        results = [None] * N
+
+        def client(i):
+            cli = Client(ready["host"], ready["port"])
+            barrier.wait()
+            for _ in range(3):
+                r = cli.call({"b": bs[i].tolist()})
+            results[i] = np.asarray(r["y_hat"], np.float32)[0]
+            cli.sock.close()
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(N)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i in range(N):
+            assert results[i] is not None, f"client {i} got no answer"
+            np.testing.assert_allclose(results[i], want[i], rtol=2e-4, atol=2e-4)
+
+        cli = Client(ready["host"], ready["port"])
+        assert cli.call({"cmd": "shutdown"})["ok"]
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
