@@ -196,13 +196,18 @@ def test_dlr_sharded_trajectory_matches_dense(tmp_path, tier):
     assert d1 < RTOL_FIRST, f"first-epoch mismatch (sharding bug): {d1:.2e}"
     # drift-onset guard: the first half must still be numerically locked (a
     # systematic sharding divergence shows immediately; measured drift here is
-    # <2e-5 at epoch 5) — the full-trajectory band is wider because the GHyp1c
-    # corrector amplifies reduction-order chaos faster than the table tiers
-    # (measured 5.5% by epoch 10, bit-identical through epoch 4)
+    # <2e-5 at epoch 5). The full-trajectory band is wider — control-attributed
+    # (round 5, tests/test_sharded_drift_control.py +
+    # results_parity/drift_control.json): the GSPMD program is a different
+    # deterministic ROUNDING CLASS than dense (gradients pointwise-equal to
+    # ~1e-5 at trained weights; all mesh shapes agree with each other), and
+    # Adam's normalizer sign-flips near-zero-gradient coordinates, forking
+    # params by O(lr)/step — benign envelope measured 5.5-5.8% by epoch 10
+    # across three independent rounding classes, band set just above it.
     d_half = _max_rel(traj_s["valid_loss"][:5], traj_d["valid_loss"][:5])
     assert d_half < 1e-3, f"early-epoch divergence (sharding bug): {d_half:.2e}"
     d_va = _max_rel(traj_s["valid_loss"], traj_d["valid_loss"])
-    assert d_va < 8e-2, f"valid trajectory diverged: max rel {d_va:.2e}"
+    assert d_va < 6.5e-2, f"valid trajectory diverged: max rel {d_va:.2e}"
     assert traj_d["valid_loss"][-1] < traj_d["valid_loss"][0]
     _RECORD[f"dlr_{tier}"] = {
         "config": f"P=16 d=24 K=8 B=8 mesh=(2,4) epochs=10 hyp_mode={tier}",
