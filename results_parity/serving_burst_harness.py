@@ -8,9 +8,15 @@ asked for: tail latency when a second (…Nth) client does NOT queue behind the
 first's socket, only behind the chip.
 
 Usage: python serving_burst_harness.py <run_dir> <label> [n_clients] [B]
-       [json|binary] [max_batch]
+       [json|binary] [max_batch] [shed_ok]
 Run from the repo root. Produced the PARITY.md concurrent-load rows (the binary
 mode drives the DBF1 frame protocol — cli/serve.py module docstring).
+
+B may be a single int ("8") or a per-client cycle ("mix=1,4,8,16" — client i
+uses the i-th value mod the cycle, the mixed-size coalescing case). Passing
+"shed_ok" as the 7th arg tolerates OverloadedError responses (the --max_pending
+overload row): sheds are counted and reported, successful solves carry the
+throughput.
 """
 import json, os, selectors, socket, subprocess, sys, threading, time
 import numpy as np
@@ -23,9 +29,16 @@ READY_TIMEOUT_S = 1800
 
 run_dir, tier = sys.argv[1], sys.argv[2]
 N_CLIENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-B = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+_b_arg = sys.argv[4] if len(sys.argv) > 4 else "8"
+if _b_arg.startswith("mix="):
+    B_CYCLE = [int(v) for v in _b_arg[4:].split(",")]
+    B = max(B_CYCLE)          # warmup pads the largest request size
+else:
+    B_CYCLE = None
+    B = int(_b_arg)
 MODE = sys.argv[5] if len(sys.argv) > 5 else "json"
 MAX_BATCH = int(sys.argv[6]) if len(sys.argv) > 6 else 32
+SHED_OK = len(sys.argv) > 7 and sys.argv[7] == "shed_ok"
 WINDOW_S = 20.0
 
 # BURST_CONNECT="host:port": drive an ALREADY-RUNNING daemon instead of spawning
@@ -83,11 +96,12 @@ results = [None] * N_CLIENTS
 
 def client(i):
     rng_i = np.random.default_rng(100 + i)
-    b_arr = rng_i.standard_normal((B, P, m)).astype(np.float32)
+    b_i = B_CYCLE[i % len(B_CYCLE)] if B_CYCLE else B
+    b_arr = rng_i.standard_normal((b_i, P, m)).astype(np.float32)
     si = socket.create_connection((ready["host"], ready["port"]))
     fi = si.makefile("rwb" if MODE == "binary" else "rw")
     payload = None if MODE == "binary" else json.dumps({"b": b_arr.tolist()}) + "\n"
-    lats, n = [], 0
+    lats, n, shed = [], 0, 0
     barrier.wait()
     if i == 0:
         now = time.perf_counter()
@@ -97,15 +111,24 @@ def client(i):
     while time.perf_counter() < window[1]:
         t = time.perf_counter()
         if MODE == "binary":
-            y_hat = binary_solve(fi, fi, b_arr)
-            assert y_hat.shape[0] == B
+            try:
+                y_hat = binary_solve(fi, fi, b_arr)
+                assert y_hat.shape[0] == b_i
+            except RuntimeError as e:
+                if SHED_OK and "OverloadedError" in str(e):
+                    shed += 1
+                    continue   # shed: immediate refusal, no latency sample
+                raise
         else:
             fi.write(payload); fi.flush()
             resp = json.loads(fi.readline())
+            if SHED_OK and "OverloadedError" in resp.get("error", ""):
+                shed += 1
+                continue
             assert "y_hat" in resp, resp
         lats.append((time.perf_counter() - t) * 1e3)
         n += 1
-    results[i] = (n, lats, time.perf_counter())
+    results[i] = (n, lats, time.perf_counter(), b_i, shed)
     fi.close(); si.close()
 
 threads = [threading.Thread(target=client, args=(i,)) for i in range(N_CLIENTS)]
@@ -115,14 +138,21 @@ wall = max(r[2] for r in results) - window[0]
 
 all_lats = np.concatenate([np.asarray(r[1]) for r in results])
 total_reqs = sum(r[0] for r in results)
+total_solves = sum(r[0] * r[3] for r in results)
+total_shed = sum(r[4] for r in results)
 p50, p99 = np.percentile(all_lats, [50, 99])
-print(json.dumps({
-    "tier": tier, "mode": MODE, "n_clients": N_CLIENTS, "B": B,
+row = {
+    "tier": tier, "mode": MODE, "n_clients": N_CLIENTS,
+    "B": (f"mix={','.join(map(str, B_CYCLE))}" if B_CYCLE else B),
     "max_batch": MAX_BATCH, "total_requests": int(total_reqs),
     "p50_ms": round(float(p50), 1), "p99_ms": round(float(p99), 1),
-    "aggregate_solves_per_s": round(total_reqs * B / wall, 1),
+    "aggregate_solves_per_s": round(total_solves / wall, 1),
     "window_s": WINDOW_S, "wall_s": round(wall, 2),
-}))
+}
+if SHED_OK:
+    row["shed_requests"] = int(total_shed)
+    row["shed_rate"] = round(total_shed / max(total_shed + total_reqs, 1), 3)
+print(json.dumps(row))
 
 if proc is not None:  # leave a BURST_CONNECT server running for the next load point
     s2 = socket.create_connection((ready["host"], ready["port"])); f2 = s2.makefile("rw")
