@@ -37,9 +37,12 @@ READY_TIMEOUT_S = 2400
 TABLE_RUN = "results_parity/scaled_P64_table/20260821_063633_unfolded_new"
 
 
-def _converged_flagship():
-    hits = sorted(glob.glob(
-        "results_parity/scaled_P256_flagship_converged/*_progressive"))
+def _converged_flagship(suffix=""):
+    # newest phase dir that actually carries a best/ checkpoint (a resumed
+    # plateau-confirmation phase that never improves saves no best/)
+    hits = [h for h in sorted(glob.glob(
+        f"results_parity/scaled_P256_flagship_converged{suffix}/*_progressive"))
+        if os.path.exists(os.path.join(h, "best", "state.msgpack"))]
     return hits[-1] if hits else None
 
 
@@ -60,13 +63,18 @@ def configs():
           "--coalesce_ms", "5", "--max_pending", "8"], 128,
          [(64, "8", True)]),
     ]
-    conv = _converged_flagship()
-    if conv:
-        cfgs.append(("flagship_P256_converged_f32", conv, [], 32,
-                     [(1, "8", False), (1, "32", False)]))
-    else:
-        print("note: converged flagship run not found; skipping its rows",
-              file=sys.stderr)
+    # converged-at-scale checkpoints (r4 item 3): h16 is the exact r4 recipe —
+    # the apples-to-apples replacement for the 0.686 checkpoint's serving rows
+    # (92 solves/s at B=32) — h100 is the default-width converged flagship
+    for label, suffix in (("flagship_P256_converged_h16_f32", "_h16"),
+                          ("flagship_P256_converged_h100_f32", "")):
+        conv = _converged_flagship(suffix)
+        if conv:
+            cfgs.append((label, conv, [], 32,
+                         [(1, "8", False), (1, "32", False)]))
+        else:
+            print(f"note: {label} run not found; skipping its rows",
+                  file=sys.stderr)
     return cfgs
 
 
