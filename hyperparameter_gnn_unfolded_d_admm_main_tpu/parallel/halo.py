@@ -346,19 +346,34 @@ def build_halo(adj: np.ndarray, num_shards: int, D: int | None = None) -> HaloTo
 
 
 def halo_bytes_per_device_per_iter(halo_sizes: Sequence[int], B_local: int,
-                                   n: int, dtype_bytes: int = 4) -> int:
+                                   n: int, dtype_bytes: int = 4,
+                                   scale_bytes_per_row: int = 0) -> int:
     """Bytes each device SENDS per neighbor-sum call: one [B_local, H_t, n] block
     per nonempty offset (`halo_neighbor_sum` skips H_t == 0 statically). The ring
     equivalent is (s-1) * B_local * Pl * n * dtype_bytes
-    (`utils/scaling_model.ring_bytes_per_device_per_iter`)."""
-    return sum(int(h) for h in halo_sizes) * B_local * n * dtype_bytes
+    (`utils/scaling_model.ring_bytes_per_device_per_iter`). Quantized wire formats
+    (`comm_dtype='int8'`: dtype_bytes=1) additionally ship one f32 scale per sent
+    row — `scale_bytes_per_row=4`."""
+    rows = sum(int(h) for h in halo_sizes) * B_local
+    return rows * (n * dtype_bytes + scale_bytes_per_row)
 
 
 # ------------------------------------------------------------------ device side
 
+def _quantize_rows(blk: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization of a [Bl, H, n] halo block: one f32
+    max-abs scale per sent row (axis -1). The scale rides the same ppermute —
+    4 bytes against n*4, <1% overhead at n=512."""
+    scale = jnp.max(jnp.abs(blk), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
+    scale = jnp.maximum(scale, jnp.float32(1e-30))
+    q = jnp.clip(jnp.round(blk.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
 def halo_neighbor_sum(halo: HaloTopology, y_local: jax.Array, num_shards: int,
                       axis_name: str = AGENT_AXIS,
-                      weights: jax.Array | None = None) -> jax.Array:
+                      weights: jax.Array | None = None,
+                      comm_dtype: str | None = None) -> jax.Array:
     """`sum_q adj[p,q] y_q` for local agent rows via boundary-halo exchange
     (inside shard_map; every `halo` field arrives as its local block).
 
@@ -366,7 +381,17 @@ def halo_neighbor_sum(halo: HaloTopology, y_local: jax.Array, num_shards: int,
     send rows and ppermute them t shards forward (one collective per offset; an
     empty halo emits NO collective — on partitioned geometric graphs only adjacent
     shards exchange at all). Then one packed gather+FMA over the concat buffer.
-    `weights` [Bl, Pl, D] replaces the 0/1 mask coefficient (GCN aggregation)."""
+    `weights` [Bl, Pl, D] replaces the 0/1 mask coefficient (GCN aggregation).
+
+    `comm_dtype` sets the WIRE format of the exchanged rows (local rows and the
+    local compute dtype are untouched): 'bfloat16' halves the f32 payload;
+    'int8' quarters it via symmetric per-row max-abs quantization (scale f32 per
+    row, sent alongside — `_quantize_rows`). Inexact-consensus lever for
+    expander graphs whose edge cut keeps the exact halo above break-even
+    (`utils/scaling_model.halo_breakeven_rows`); measured accuracy impact in
+    results_parity/halo_quantization.json."""
+    if comm_dtype not in (None, "bfloat16", "int8"):
+        raise ValueError(f"unsupported comm_dtype: {comm_dtype!r}")
     s = num_shards
     Bl = y_local.shape[0]
     b_ix = jnp.arange(Bl)[:, None]
@@ -379,7 +404,17 @@ def halo_neighbor_sum(halo: HaloTopology, y_local: jax.Array, num_shards: int,
             continue
         blk = y_local[b_ix, send]                  # [Bl, H_t, n]
         perm = [(j, (j + t) % s) for j in range(s)]
-        bufs.append(lax.ppermute(blk, axis_name, perm))
+        if comm_dtype == "int8":
+            q, scale = _quantize_rows(blk)
+            q = lax.ppermute(q, axis_name, perm)
+            scale = lax.ppermute(scale, axis_name, perm)
+            blk = (q.astype(jnp.float32) * scale).astype(y_local.dtype)
+        elif comm_dtype == "bfloat16":
+            blk = lax.ppermute(blk.astype(jnp.bfloat16), axis_name, perm)
+            blk = blk.astype(y_local.dtype)
+        else:
+            blk = lax.ppermute(blk, axis_name, perm)
+        bufs.append(blk)
     buf = jnp.concatenate(bufs, axis=1) if len(bufs) > 1 else y_local
     acc = jnp.zeros_like(y_local)
     for d in range(halo.nbr_buf.shape[-1]):
@@ -390,8 +425,12 @@ def halo_neighbor_sum(halo: HaloTopology, y_local: jax.Array, num_shards: int,
 
 
 def halo_consensus_delta(halo: HaloTopology, y_local: jax.Array, num_shards: int,
-                         axis_name: str = AGENT_AXIS) -> jax.Array:
+                         axis_name: str = AGENT_AXIS,
+                         comm_dtype: str | None = None) -> jax.Array:
     """`delta = 2*(deg*y - adj@y)` for local rows, halo schedule (same identity as
-    `ops/graphs.consensus_delta`, reference loop `unfolded_DLASSO.py:127-140`)."""
-    neigh = halo_neighbor_sum(halo, y_local, num_shards, axis_name)
+    `ops/graphs.consensus_delta`, reference loop `unfolded_DLASSO.py:127-140`).
+    `comm_dtype` compresses the wire format of the exchanged boundary rows
+    (see `halo_neighbor_sum`); the local deg*y term stays exact."""
+    neigh = halo_neighbor_sum(halo, y_local, num_shards, axis_name,
+                              comm_dtype=comm_dtype)
     return 2.0 * (halo.deg[..., None] * y_local - neigh)

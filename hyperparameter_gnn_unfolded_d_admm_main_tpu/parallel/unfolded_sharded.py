@@ -247,12 +247,16 @@ def make_sharded_unroll_halo(
     solver_dtype=None,
     matmul_dtype=None,
     final_only: bool = False,
+    comm_dtype: str | None = None,
 ):
     """Edge-cut halo-exchange sharded unroll (`parallel/halo.py`): consensus ships
     only the BOUNDARY rows each neighbor shard actually reads — per-device bytes
     drop from the packed ring's (s-1)*B*Pl*n to B*sum_t(H_t)*n, proportional to
     the realized edge cut (6.3x fewer on partitioned geometric graphs at P=1024,
     1.34x on degree-12 ER expanders — results_parity/scaling_projection.json).
+    `comm_dtype` ('bfloat16' | 'int8') compresses the WIRE format of the
+    exchanged boundary rows only — the inexact-consensus lever for expander
+    graphs (accuracy impact measured in results_parity/halo_quantization.json).
 
     `halo_topo` is a `halo.HaloTopology` built host-side from adjacency ALREADY in
     partition order (`halo.greedy_equal_partition` + `halo.permute_agents` +
@@ -275,7 +279,8 @@ def make_sharded_unroll_halo(
     def local_unroll(state, hyp_table, op, Atb, halo):
         def consensus(y_local):
             return halo_lib.halo_consensus_delta(
-                halo, y_local, num_shards=n_agent_shards, axis_name=AGENT_AXIS)
+                halo, y_local, num_shards=n_agent_shards, axis_name=AGENT_AXIS,
+                comm_dtype=comm_dtype)
 
         gram_fn = dadmm_core.make_gram_fn(
             op if gram_mode == "gram" else None,

@@ -192,16 +192,20 @@ def measured_halo(P: int, num_shards: int, kind: str = "er",
 def project_agent_axis_halo(num_shards: int, P: int, B: int, n: int, K: int,
                             halo_rows: int,
                             link_bytes_s: float = ICI_BYTES_S,
-                            dtype_bytes: int = 4) -> AxisProjection:
+                            dtype_bytes: int = 4,
+                            scale_bytes_per_row: int = 0) -> AxisProjection:
     """Agent-axis projection under the halo schedule: per-device bytes/iter are
-    `halo_rows * B * n * dtype_bytes` (each device sends its boundary rows once
-    per offset — `parallel/halo.py:halo_bytes_per_device_per_iter`) instead of
-    the ring's (s-1) * Pl * B * n. `halo_rows` comes from `measured_halo` (use
+    `halo_rows * B * (n * dtype_bytes + scale_bytes_per_row)` (each device sends
+    its boundary rows once per offset —
+    `parallel/halo.py:halo_bytes_per_device_per_iter`) instead of the ring's
+    (s-1) * Pl * B * n. `halo_rows` comes from `measured_halo` (use
     the hop-weighted count for a conservative multi-offset ring estimate);
-    dtype_bytes=2 models bf16 payloads (the solver's bf16-carry mode)."""
+    dtype_bytes=2 models bf16 payloads (the solver's bf16-carry mode);
+    dtype_bytes=1 + scale_bytes_per_row=4 models the int8 wire format
+    (`comm_dtype='int8'` — per-row f32 max-abs scale rides the ppermute)."""
     Pl = P // num_shards
     t_comp = compute_sec_per_iter(Pl, B)
-    bytes_dev = halo_rows * B * n * dtype_bytes
+    bytes_dev = halo_rows * B * (n * dtype_bytes + scale_bytes_per_row)
     t_comm = bytes_dev / link_bytes_s
     t_iter = t_comp + t_comm
     ips = 1.0 / t_iter
@@ -218,15 +222,18 @@ def project_agent_axis_halo(num_shards: int, P: int, B: int, n: int, K: int,
 def halo_breakeven_rows(target_eff: float = 0.8, num_shards: int = 2,
                         n: int = 512, dtype_bytes: int = 4,
                         P: int = 1024,
-                        link_bytes_s: float = ICI_BYTES_S) -> float:
+                        link_bytes_s: float = ICI_BYTES_S,
+                        scale_bytes_per_row: int = 0) -> float:
     """Largest total halo row count (sum of per-offset H_t) at which the halo
     schedule still reaches `target_eff`. B cancels:
-      t_comp = c_a * Pl * B;  t_comm = H * B * n * d / BW
-      eff >= target  <=>  H <= c_a * Pl * BW * (1/target - 1) / (n * d).
-    This is the 'at what cut it breaks' statement the projection quotes."""
+      t_comp = c_a * Pl * B;  t_comm = H * B * (n * d + sc) / BW
+      eff >= target  <=>  H <= c_a * Pl * BW * (1/target - 1) / (n * d + sc).
+    This is the 'at what cut it breaks' statement the projection quotes.
+    dtype_bytes=1, scale_bytes_per_row=4 gives the int8-wire budget."""
     c_a = MEASURED_SEC_PER_ITER_P64 / (MEASURED_BASIS["P"] * MEASURED_BASIS["B"])
     Pl = P // num_shards
-    return c_a * Pl * link_bytes_s * (1.0 / target_eff - 1.0) / (n * dtype_bytes)
+    return (c_a * Pl * link_bytes_s * (1.0 / target_eff - 1.0)
+            / (n * dtype_bytes + scale_bytes_per_row))
 
 
 def agent_axis_breakeven_n(target_eff: float = 0.8, num_shards: int = 2,
@@ -269,11 +276,12 @@ def build_projection() -> dict:
         for shards in (2, 4, 8):
             geom = measured_halo(P, shards, kind=kind)
             halo_geom[f"{kind}_s{shards}"] = geom
-            for dtype_bytes, dname in ((4, "f32"), (2, "bf16")):
+            for dtype_bytes, scale_b, dname in (
+                    (4, 0, "f32"), (2, 0, "bf16"), (1, 4, "int8")):
                 pr = asdict(project_agent_axis_halo(
                     shards, P, B, n, K,
                     halo_rows=geom["halo_rows_hop_weighted"],
-                    dtype_bytes=dtype_bytes))
+                    dtype_bytes=dtype_bytes, scale_bytes_per_row=scale_b))
                 pr.update(link="ici", graph=kind, payload=dname,
                           halo_rows=geom["halo_rows"],
                           halo_rows_hop_weighted=geom["halo_rows_hop_weighted"],
@@ -297,12 +305,16 @@ def build_projection() -> dict:
         "halo_eff_geometric_2_shards_bf16": _halo_eff("geometric", 2, "bf16"),
         "halo_eff_geometric_2_shards_f32": _halo_eff("geometric", 2, "f32"),
         "halo_eff_er_2_shards_bf16": _halo_eff("er", 2, "bf16"),
+        "halo_eff_er_2_shards_int8": _halo_eff("er", 2, "int8"),
+        "halo_eff_geometric_2_shards_int8": _halo_eff("geometric", 2, "int8"),
         "halo_meets_target_geometric_2_shards_bf16":
             _halo_eff("geometric", 2, "bf16") >= 0.8,
         "halo_breakeven_rows_2_shards_bf16": halo_breakeven_rows(
             0.8, 2, n, dtype_bytes=2, P=P),
         "halo_breakeven_rows_2_shards_f32": halo_breakeven_rows(
             0.8, 2, n, dtype_bytes=4, P=P),
+        "halo_breakeven_rows_2_shards_int8": halo_breakeven_rows(
+            0.8, 2, n, dtype_bytes=1, P=P, scale_bytes_per_row=4),
         "conclusion": (
             "Put DCN on the DATA axis: batch sharding has zero per-iteration "
             "collectives (consensus mixes agents within a sample only) and its "
@@ -319,9 +331,14 @@ def build_projection() -> dict:
             "expanders (measured cut stays >~0.5 at 2 shards even after "
             "refinement), so their halo stays above the break-even row budget "
             "(halo_breakeven_rows: eff>=0.8 needs sum(H_t) <= "
-            "c_a*Pl*BW*(1/0.8-1)/(n*d) rows — ~154 bf16 rows of Pl=512 at "
-            "s=2) and ER agent-sharding remains the memory/latency axis, not "
-            "the throughput axis. The multihost driver lays meshes out "
+            "c_a*Pl*BW*(1/0.8-1)/(n*d) rows — ~77 bf16 rows of Pl=512 at "
+            "s=2). The int8 wire format (comm_dtype='int8': per-row max-abs "
+            "quantized boundary rows, f32 scale riding the same ppermute) "
+            "halves the bf16 bytes again and lifts ER to ~55% (geometric "
+            "~95%) — a measured-accuracy inexact-consensus lever "
+            "(results_parity/halo_quantization.json), but degree-12 ER stays "
+            "information-bound below 80%, so ER agent-sharding remains the "
+            "memory/latency axis, not the throughput axis. The multihost driver lays meshes out "
             "accordingly (data across processes by default; the agent axis — "
             "ring and halo — is correctness-validated across real process "
             "boundaries in cli/multihost.py)."),
