@@ -23,7 +23,9 @@ three phases (gloo CPU collectives here; DCN/ICI on real pods):
    dense unroll.
 5. `halo` — the round-5 edge-cut halo schedule (`parallel/halo.py`): agents are
    partitioned to minimize cross-shard edges and only boundary rows cross the
-   process boundary (offset-t ppermutes), checked against the local dense unroll.
+   process boundary (offset-t ppermutes), checked against the local dense unroll;
+   then repeated with the int8 wire format (`halo_int8` — per-row max-abs
+   quantized boundary rows, checked within quantization tolerance).
 
 Run as a self-launcher (spawns N local worker processes, CPU backend):
 
@@ -308,6 +310,24 @@ def worker(process_id: int, num_processes: int, coordinator: str,
           f"ring_rows={(s_agents - 1) * (Pa // s_agents)} "
           f"max_rel_err={max_err_h:.2e}", flush=True)
 
+    # int8 wire format on the same halo exchange (round 5, inexact consensus:
+    # per-row max-abs quantized boundary rows; tolerance is quantization-scale,
+    # not float-rounding-scale).
+    unroll_halo8 = unfolded_sharded.make_sharded_unroll_halo(
+        xmesh, halo_topo_np, gram_mode="factored", remat=False,
+        comm_dtype="int8")
+    Yh8 = unroll_halo8(g_state_p, _make_global(table_np[:, perm], sh_ka),
+                       _make_global(A_np[perm], sh_a),
+                       _make_global(Atb_np[:, perm], sh_bpa), g_halo)
+    max_err_h8 = max(
+        float(np.max(np.abs(np.asarray(sh.data) - Y_ref_p[sh.index]))) / scale
+        for sh in Yh8.addressable_shards
+    )
+    if max_err_h8 > 6e-2:
+        raise RuntimeError(f"int8 halo wire mismatch: {max_err_h8:.2e}")
+    print(f"{tag} phase=halo_int8 agents_procs={agent_procs} "
+          f"max_rel_err={max_err_h8:.2e}", flush=True)
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -345,7 +365,8 @@ def main(argv=None):
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
     ok = all(p.returncode == 0 for p in procs)
-    phases = {"dp": [], "packed": [], "flagship": [], "dlr": [], "halo": []}
+    phases = {"dp": [], "packed": [], "flagship": [], "dlr": [], "halo": [],
+              "halo_int8": []}
     for i, o in enumerate(outs):
         lines = [l for l in o.splitlines() if l.startswith("[proc")]
         for l in lines:
@@ -359,7 +380,8 @@ def main(argv=None):
                                       if "loss_final=" in l else l.split()[-1])
     complete = all(len(v) == args.num_processes for v in phases.values())
     agree = all(len(set(v)) == 1 for ph, v in phases.items()
-                if ph not in ("packed", "dlr", "halo"))  # per-proc error phases
+                if ph not in ("packed", "dlr", "halo",
+                              "halo_int8"))  # per-proc error phases
     if ok and complete and agree:
         print(f"multihost demo OK: {args.num_processes} processes, agents axis "
               f"across the process boundary (packed ppermute + GSPMD flagship "

@@ -45,3 +45,4 @@ def test_two_process_training_agrees():
     assert "phase=flagship agents_procs=[0, 1]" in r.stdout
     assert "phase=dlr agents_procs=[0, 1]" in r.stdout
     assert "phase=halo agents_procs=[0, 1]" in r.stdout
+    assert "phase=halo_int8 agents_procs=[0, 1]" in r.stdout
