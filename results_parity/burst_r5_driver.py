@@ -75,6 +75,20 @@ def configs():
         else:
             print(f"note: {label} run not found; skipping its rows",
                   file=sys.stderr)
+    # the plateau-trained P=1024 nodewise flagship (round-5 extension of the
+    # r4 12-epoch run): the largest-agent-count served checkpoint
+    p1024 = [h for h in sorted(glob.glob(
+        "results_parity/scaled_P1024_nodewise_converged/*_progressive"))
+        if os.path.exists(os.path.join(h, "best", "state.msgpack"))]
+    if p1024:
+        # JSON warmup at B=32 is ~32*1024*100 floats (~70 MB of text) — raise
+        # the request cap; the measured burst itself rides compact binary frames
+        cfgs.append(("flagship_P1024_converged_f32", p1024[-1],
+                     ["--max_request_mb", "256"], 32,
+                     [(1, "8", False), (1, "32", False)]))
+    else:
+        print("note: flagship_P1024_converged_f32 run not found; skipping",
+              file=sys.stderr)
     return cfgs
 
 

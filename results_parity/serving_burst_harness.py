@@ -82,7 +82,9 @@ rng = np.random.default_rng(0)
 for warm_b in (1, B, MAX_BATCH):
     f.write(json.dumps({"b": rng.standard_normal((warm_b, P, m)).tolist()}) + "\n")
     f.flush()
-    assert "y_hat" in json.loads(f.readline())
+    _warm = json.loads(f.readline())
+    if "y_hat" not in _warm:
+        sys.exit(f"warmup B={warm_b} failed: {_warm.get('error', _warm)}")
 f.close(); s.close()
 
 # Clock discipline (r2 advisor): the window starts at barrier RELEASE (client 0
